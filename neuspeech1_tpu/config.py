@@ -1,0 +1,164 @@
+"""Model / data configuration for the TPU-native NeuSpeech rebuild.
+
+Capability parity notes (reference = NeuSpeech/NeuSpeech1 at /root/reference):
+  * whisper-base geometry (6+6 layers, d_model=512, vocab 51865) — reference
+    `finetune.py:127` loads `openai/whisper-base`.
+  * EEG stem replaces the mel conv1; stride budget must map 6000 samples
+    (30 s @ 200 Hz) -> 1500 encoder frames so the pretrained positional table
+    is reused unchanged (reference `utils/load_model.py:414-416`,
+    `utils/model_utils.py:9-23`).
+
+Everything here is a frozen (hashable) dataclass so configs can be passed as
+static arguments through `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StemConfig:
+    """EEG/MEG -> encoder-frame projection stem.
+
+    kind:
+      'speech'  — Whisper's own mel stem: conv1(mel->d, k3, s1) (the usual path
+                  when running on audio; reference `evaluation_speech.py`).
+      'base'    — reference `utils/model_utils.py:10-17`: Conv(ch->d,k3,p1) +
+                  GELU + Conv(d->d,k3,s2,p1); combined with whisper conv2 (s2)
+                  this maps 6000 -> 1500.
+      'replace' — reference `utils/model_utils.py:18-20`: single
+                  Conv(ch->d,k3,s2,p1).
+    """
+
+    kind: str = "base"
+    in_channels: int = 208  # 208 = Gwilliams MEG, 273 = Schoffelen
+    dropout: float = 0.0
+
+    def __post_init__(self):
+        if self.kind not in ("speech", "base", "replace"):
+            raise ValueError(f"unknown stem kind: {self.kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    """Geometry + special-token layout of a Whisper-style encoder-decoder.
+
+    Defaults are whisper-base multilingual (reference `finetune.py:127`).
+    Special-token ids follow the multilingual Whisper tokenizer layout; for
+    self-contained testing the same *relative* layout is produced for small
+    vocabularies by `layout_for_vocab`.
+    """
+
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 512
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    encoder_heads: int = 8
+    decoder_heads: int = 8
+    encoder_ffn: int = 2048
+    decoder_ffn: int = 2048
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    # --- special tokens (multilingual whisper-base values) ---
+    eot_id: int = 50257            # <|endoftext|>; also pad at the HF level
+    sot_id: int = 50258            # <|startoftranscript|>; decoder_start_token
+    first_language_id: int = 50259  # <|en|>; languages occupy a contiguous block
+    num_languages: int = 99
+    translate_id: int = 50358
+    transcribe_id: int = 50359
+    startoflm_id: int = 50360
+    startofprev_id: int = 50361
+    nocaptions_id: int = 50362     # a.k.a. <|nospeech|>
+    notimestamps_id: int = 50363
+    # timestamp tokens run [notimestamps_id+1, vocab_size); 1501 of them for
+    # 0.00..30.00 s at 0.02 s resolution (reference `utils/reader.py:363-365`).
+    # --- numerics ---
+    dtype: str = "bfloat16"        # activation/compute dtype on TPU
+    param_dtype: str = "float32"   # master parameter dtype
+    remat: bool = False            # jax.checkpoint each transformer layer
+
+    @property
+    def timestamp_begin(self) -> int:
+        return self.notimestamps_id + 1
+
+    @property
+    def num_timestamps(self) -> int:
+        return self.vocab_size - self.timestamp_begin
+
+    def language_id(self, index: int) -> int:
+        return self.first_language_id + index
+
+    @staticmethod
+    def layout_for_vocab(n_text: int, num_languages: int = 2, **kw) -> dict:
+        """Special-token layout for a small test vocabulary.
+
+        Mirrors the multilingual Whisper ordering: text tokens, <|endoftext|>,
+        <|startoftranscript|>, languages, translate, transcribe, startoflm,
+        startofprev, nocaptions, notimestamps, 1501 timestamp tokens.
+        """
+        eot = n_text
+        sot = n_text + 1
+        first_lang = n_text + 2
+        translate = first_lang + num_languages
+        transcribe = translate + 1
+        startoflm = transcribe + 1
+        startofprev = startoflm + 1
+        nocaptions = startofprev + 1
+        notimestamps = nocaptions + 1
+        n_timestamps = kw.pop("num_timestamps", 1501)
+        vocab = notimestamps + 1 + n_timestamps
+        return dict(
+            vocab_size=vocab,
+            eot_id=eot,
+            sot_id=sot,
+            first_language_id=first_lang,
+            num_languages=num_languages,
+            translate_id=translate,
+            transcribe_id=transcribe,
+            startoflm_id=startoflm,
+            startofprev_id=startofprev,
+            nocaptions_id=nocaptions,
+            notimestamps_id=notimestamps,
+            **kw,
+        )
+
+
+def tiny_config(n_text: int = 256, **overrides) -> WhisperConfig:
+    """A small config for CPU tests: 2+2 layers, d=64."""
+    layout = WhisperConfig.layout_for_vocab(n_text)
+    base = dict(
+        num_mel_bins=16,
+        d_model=64,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_heads=2,
+        decoder_heads=2,
+        encoder_ffn=128,
+        decoder_ffn=128,
+        max_source_positions=100,
+        max_target_positions=64,
+        dtype="float32",
+    )
+    base.update(layout)
+    base.update(overrides)
+    return WhisperConfig(**base)
+
+
+# Data-contract constants (reference `utils/reader.py:496-506`: 30 s * 200 Hz
+# zero-padded clips).
+SIGNAL_SAMPLE_RATE = 200
+MAX_DURATION_S = 30.0
+MIN_DURATION_S = 0.5
+SIGNAL_SAMPLES = int(SIGNAL_SAMPLE_RATE * MAX_DURATION_S)  # 6000
+AUDIO_SAMPLE_RATE = 16000
+LABEL_IGNORE_ID = -100
+
+# Per-dataset channel slices (reference `utils/reader.py:269-277` sniffs the
+# file path; we make it an explicit argument with the same named presets).
+DATASET_CHANNEL_SLICES = {
+    "gwilliams": (0, 208),
+    "schoffelen": (28, 301),
+}

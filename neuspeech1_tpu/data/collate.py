@@ -1,0 +1,74 @@
+"""Batch collation: stack features, pad labels, build shifted decoder inputs.
+
+Parity with reference `utils/data_utils.py:182-221`
+(`DataCollatorSpeechSeq2SeqWithPadding`): labels are padded and masked to
+-100, and the leading `<|startoftranscript|>` is stripped (HF's forward then
+re-creates it via shift_tokens_right; here the collator emits the shifted
+`decoder_input_ids` explicitly so the jitted train step gets ready tensors).
+
+TPU note: label length is padded to a fixed bucket (multiple of
+``pad_to_multiple``, or the static ``max_label_len``) so jit does not
+recompile per batch shape.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from neuspeech1_tpu.config import LABEL_IGNORE_ID
+
+
+class Collator:
+    def __init__(
+        self,
+        pad_id: int,
+        decoder_start_id: int,
+        max_label_len: Optional[int] = None,
+        pad_to_multiple: int = 8,
+        strip_sot: bool = True,
+    ):
+        self.pad_id = pad_id
+        self.decoder_start_id = decoder_start_id
+        self.max_label_len = max_label_len
+        self.pad_to_multiple = pad_to_multiple
+        self.strip_sot = strip_sot
+
+    def _target_len(self, lens: Sequence[int]) -> int:
+        if self.max_label_len is not None:
+            return self.max_label_len
+        m = max(lens)
+        p = self.pad_to_multiple
+        return -(-m // p) * p
+
+    def __call__(self, samples: List[dict]) -> dict:
+        feats = np.stack([s["input_features"] for s in samples]).astype(np.float32)
+        label_lists = []
+        for s in samples:
+            lab = list(s["labels"])
+            if self.strip_sot and lab and lab[0] == self.decoder_start_id:
+                lab = lab[1:]
+            label_lists.append(lab)
+        tlen = self._target_len([len(l) for l in label_lists])
+        b = len(samples)
+        labels = np.full((b, tlen), LABEL_IGNORE_ID, dtype=np.int32)
+        for i, lab in enumerate(label_lists):
+            lab = lab[:tlen]
+            labels[i, : len(lab)] = lab
+        # decoder input = [start] + labels[:-1], with ignore -> pad
+        dec_in = np.full((b, tlen), self.pad_id, dtype=np.int32)
+        dec_in[:, 0] = self.decoder_start_id
+        src = labels[:, :-1]
+        dec_in[:, 1:] = np.where(src == LABEL_IGNORE_ID, self.pad_id, src)
+        return {
+            "input_features": feats,
+            "labels": labels,
+            "decoder_input_ids": dec_in,
+        }
+
+
+def get_part_of_dataset(rows: list, data_ratio: float) -> list:
+    """Subset the first `ratio` of a dataset (reference
+    `utils/data_utils.py:15-17`)."""
+    return rows[: int(len(rows) * data_ratio)]

@@ -1,0 +1,258 @@
+"""Tokenizer abstraction for the Whisper-style decoder.
+
+Two implementations:
+
+  * ``ByteTokenizer`` — fully self-contained byte-level tokenizer with the
+    multilingual-Whisper special-token *layout* (text block, <|endoftext|>,
+    <|startoftranscript|>, language block, task tokens, <|notimestamps|>,
+    1501 timestamp tokens).  Used by tests and synthetic training so the whole
+    framework runs with zero downloaded assets.
+
+  * ``HFTokenizerAdapter`` — wraps a local `transformers` WhisperTokenizer
+    directory when real checkpoints are available (the reference uses
+    `WhisperProcessor.from_pretrained`, `finetune.py:70-74`).
+
+Label construction follows the reference contract exactly:
+prefix ``<|sot|><|lang|><|task|>(<|notimestamps|>)`` then text ids then
+``<|endoftext|>``; timestamp labels interleave per-sentence start/end tokens
+(reference `utils/reader.py:356-401`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from neuspeech1_tpu.config import WhisperConfig
+
+# Language name -> (code, index-in-language-block). Index must match the
+# multilingual Whisper ordering for the first few languages we care about.
+LANGUAGES = {
+    "english": ("en", 0),
+    "chinese": ("zh", 1),
+    "german": ("de", 2),
+    "spanish": ("es", 3),
+    "russian": ("ru", 4),
+    "korean": ("ko", 5),
+    "french": ("fr", 6),
+    "japanese": ("ja", 7),
+    "portuguese": ("pt", 8),
+    "turkish": ("tr", 9),
+    "polish": ("pl", 10),
+    "catalan": ("ca", 11),
+    "dutch": ("nl", 12),
+}
+CODE_TO_INDEX = {code: idx for code, idx in LANGUAGES.values()}
+
+
+def language_token_id(config: WhisperConfig, language: str) -> int:
+    """Id of the ``<|xx|>`` token for a language name or code."""
+    lang = language.lower()
+    if lang in LANGUAGES:
+        idx = LANGUAGES[lang][1]
+    elif lang in CODE_TO_INDEX:
+        idx = CODE_TO_INDEX[lang]
+    else:
+        raise KeyError(f"unknown language: {language!r}")
+    if idx >= config.num_languages:
+        raise KeyError(
+            f"language {language!r} (index {idx}) outside this config's "
+            f"{config.num_languages}-language block"
+        )
+    return config.language_id(idx)
+
+
+class Tokenizer:
+    """Interface; concrete classes provide _encode_text/_decode_text."""
+
+    def __init__(self, config: WhisperConfig):
+        self.config = config
+
+    # -- text <-> ids ------------------------------------------------------
+    def encode(self, text: str) -> List[int]:
+        raise NotImplementedError
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        raise NotImplementedError
+
+    # -- special-token helpers --------------------------------------------
+    @property
+    def eot_id(self) -> int:
+        return self.config.eot_id
+
+    @property
+    def sot_id(self) -> int:
+        return self.config.sot_id
+
+    @property
+    def pad_id(self) -> int:
+        # Whisper uses <|endoftext|> as pad at the HF level.
+        return self.config.eot_id
+
+    def prefix_tokens(
+        self,
+        language: Optional[str] = "english",
+        task: str = "transcribe",
+        timestamps: bool = False,
+    ) -> List[int]:
+        """``<|sot|><|lang|><|task|>[<|notimestamps|>]``.
+
+        With ``timestamps=True`` the ``<|notimestamps|>`` token is omitted
+        (reference `utils/reader.py:360`: ``prefix_tokens[:3]``).
+        """
+        c = self.config
+        toks = [c.sot_id]
+        if language is not None:
+            toks.append(language_token_id(c, language))
+        toks.append(c.transcribe_id if task == "transcribe" else c.translate_id)
+        if not timestamps:
+            toks.append(c.notimestamps_id)
+        return toks
+
+    def timestamp_id(self, seconds: float) -> int:
+        """Timestamp token for ``seconds`` with the reference's even-centisecond
+        rounding rule (`utils/reader.py:363-365`)."""
+        c = self.config
+        cs = round(seconds * 100)
+        tok = c.timestamp_begin + cs // 2
+        last = c.vocab_size - 1
+        if tok > last:
+            raise ValueError(f"timestamp {seconds}s out of range")
+        return tok
+
+    def build_labels(
+        self,
+        text: str,
+        language: Optional[str] = "english",
+        task: str = "transcribe",
+    ) -> List[int]:
+        """Plain (no-timestamp) labels: prefix + text ids + eot."""
+        return self.prefix_tokens(language, task, timestamps=False) + self.encode(
+            text
+        ) + [self.eot_id]
+
+    def build_timestamp_labels(
+        self,
+        sentences: Sequence[dict],
+        language: Optional[str] = "english",
+        task: str = "transcribe",
+        level: str = "sentences",
+    ) -> List[int]:
+        """Timestamped labels per reference `utils/reader.py:356-401`.
+
+        ``sentences`` is the jsonl ``sentences`` list: dicts with ``text``,
+        ``start``, ``end`` (and ``words`` for level='words').
+        """
+        labels = self.prefix_tokens(language, task, timestamps=True)
+        if level == "sentences":
+            units = [(s["start"], s["end"], s["text"]) for s in sentences]
+        elif level == "words":
+            units = [
+                (w["start"], w["end"], w["word"])
+                for s in sentences
+                for w in s["words"]
+            ]
+        else:
+            raise NotImplementedError(level)
+        for start, end, text in units:
+            # Odd centiseconds are nudged inward (reference rounding rule).
+            if round(start * 100) % 2 != 0:
+                start += 0.01
+            if round(end * 100) % 2 != 0:
+                end -= 0.01
+            labels.append(self.timestamp_id(start))
+            labels.extend(self.encode(text))
+            labels.append(self.timestamp_id(end))
+        labels.append(self.eot_id)
+        return labels
+
+    def batch_decode(
+        self, batch_ids, skip_special_tokens: bool = True
+    ) -> List[str]:
+        return [self.decode(ids, skip_special_tokens) for ids in batch_ids]
+
+
+class ByteTokenizer(Tokenizer):
+    """UTF-8 byte-level tokenizer: text token id == byte value (0..255).
+
+    Fully offline; pairs with ``WhisperConfig.layout_for_vocab(256, ...)``.
+    """
+
+    N_TEXT = 256
+
+    def __init__(self, config: WhisperConfig):
+        super().__init__(config)
+        if config.eot_id != self.N_TEXT:
+            raise ValueError(
+                "ByteTokenizer requires a config built with "
+                "layout_for_vocab(256); got eot_id="
+                f"{config.eot_id}"
+            )
+
+    def encode(self, text: str) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i < 0:
+                continue  # ignore label padding (-100)
+            if i < self.N_TEXT:
+                out.append(i)
+            elif not skip_special_tokens:
+                name = self._special_name(i)
+                out.extend(name.encode("utf-8"))
+        return bytes(out).decode("utf-8", errors="replace")
+
+    def _special_name(self, i: int) -> str:
+        c = self.config
+        if i == c.eot_id:
+            return "<|endoftext|>"
+        if i == c.sot_id:
+            return "<|startoftranscript|>"
+        if c.first_language_id <= i < c.first_language_id + c.num_languages:
+            return f"<|lang{i - c.first_language_id}|>"
+        if i == c.translate_id:
+            return "<|translate|>"
+        if i == c.transcribe_id:
+            return "<|transcribe|>"
+        if i == c.notimestamps_id:
+            return "<|notimestamps|>"
+        if i >= c.timestamp_begin:
+            return f"<|{(i - c.timestamp_begin) * 0.02:.2f}|>"
+        return f"<|special{i}|>"
+
+
+class HFTokenizerAdapter(Tokenizer):
+    """Wrap a local HF WhisperTokenizer (no network access is assumed)."""
+
+    def __init__(self, path_or_tokenizer, config: Optional[WhisperConfig] = None):
+        if isinstance(path_or_tokenizer, str):
+            from transformers import WhisperTokenizer  # lazy
+
+            self.hf = WhisperTokenizer.from_pretrained(
+                path_or_tokenizer, local_files_only=True
+            )
+        else:
+            self.hf = path_or_tokenizer
+        if config is None:
+            config = WhisperConfig()
+        super().__init__(config)
+
+    def encode(self, text: str) -> List[int]:
+        return self.hf.encode(text, add_special_tokens=False)
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        ids = [int(i) for i in ids if int(i) >= 0]
+        return self.hf.decode(ids, skip_special_tokens=skip_special_tokens)
+
+
+def make_tokenizer(spec: str, config: Optional[WhisperConfig] = None) -> Tokenizer:
+    """``spec`` is either 'byte' or a local HF tokenizer directory."""
+    if spec == "byte":
+        if config is None:
+            from neuspeech1_tpu.config import tiny_config
+
+            config = tiny_config()
+        return ByteTokenizer(config)
+    return HFTokenizerAdapter(spec, config)
