@@ -1,0 +1,63 @@
+"""Device mesh construction.
+
+The reference's only parallelism is torch-DDP data parallelism via HF Trainer
+(`finetune.py:119-122,248`). TPU-natively the whole topology is one
+`jax.sharding.Mesh`; data parallelism, FSDP-style parameter sharding and
+tensor parallelism are all expressed as PartitionSpecs over its axes and XLA
+emits the ICI collectives (scaling-book recipe). whisper-base (72.6M params)
+needs none of the model sharding to fit, but the axes are first-class so the
+same code scales to bigger configs and multi-host meshes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(
+    data: int = -1, fsdp: int = 1, tensor: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'fsdp', 'tensor') mesh. data=-1 = all remaining."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, f"{n} devices not divisible by {fsdp * tensor}"
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    arr = np.array(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, AXES)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over data (and fsdp) axes; rest replicated."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_mesh_info(mesh: Mesh) -> dict:
+    return {
+        "devices": mesh.devices.size,
+        "axes": dict(zip(mesh.axis_names, mesh.devices.shape)),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+    }
+
+
+def initialize_distributed(coordinator: Optional[str] = None) -> None:
+    """Multi-host bring-up (DCN): call once per process before building the
+    mesh; a no-op single-host."""
+    if jax.process_count() > 1 or coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator)

@@ -1,0 +1,155 @@
+"""The jit-compiled training step.
+
+One compiled program does: (optional) on-device augmentation -> bf16 forward
+through the EEG-Whisper -> masked CE (+ AdaLoRA orth reg) -> backward ->
+AdamW update on the trainable partition. Under a sharded mesh the same
+program is the data-parallel (and TP/FSDP) version — XLA inserts the
+gradient all-reduces from the shardings (no DDP machinery; contrast
+reference `finetune.py:119-122`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neuspeech1_tpu.config import StemConfig, WhisperConfig
+from neuspeech1_tpu.models import whisper as jw
+from neuspeech1_tpu.models.lora import adalora_orth_loss
+from neuspeech1_tpu.ops.augment import augment_batch_jnp
+from neuspeech1_tpu.train.optimizer import combine_params
+
+Params = Dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Mutable training state. The frozen partition is deliberately NOT part
+    of the state so the jitted step can donate state buffers without
+    invalidating the caller's base parameters."""
+
+    step: jnp.ndarray
+    trainable: Params
+    opt_state: Any
+    rng: jax.Array
+
+
+def init_train_state(
+    key, params: Params, lora: Optional[Params], tx, pred
+) -> Tuple[TrainState, Params]:
+    """Returns (state, frozen_tree) from a full param tree + adapters."""
+    from neuspeech1_tpu.train.optimizer import partition_params
+
+    combined = {"model": params, "lora": lora if lora is not None else {}}
+    trainable, frozen = partition_params(combined, pred)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+        rng=key,
+    )
+    return state, frozen
+
+
+def model_params_of(state: TrainState, frozen: Params) -> Tuple[Params, Optional[Params]]:
+    combined = combine_params(state.trainable, frozen)
+    lora = combined.get("lora") or None
+    if lora is not None and not jax.tree_util.tree_leaves(lora):
+        lora = None
+    return combined["model"], lora
+
+
+def make_loss_fn(
+    config: WhisperConfig,
+    stem: StemConfig,
+    orth_reg_weight: float = 0.0,
+):
+    def loss_fn(trainable, frozen, batch, dropout_rng):
+        combined = combine_params(trainable, frozen)
+        params = combined["model"]
+        lora = combined.get("lora") or None
+        if lora is not None and not jax.tree_util.tree_leaves(lora):
+            lora = None
+        logits = jw.forward(
+            params,
+            batch["input_features"],
+            batch["decoder_input_ids"],
+            config,
+            stem,
+            lora=lora,
+            deterministic=dropout_rng is None,
+            dropout_rng=dropout_rng,
+        )
+        loss = jw.ce_loss(logits, batch["labels"])
+        aux = {"ce_loss": loss}
+        if orth_reg_weight > 0.0 and lora is not None:
+            reg = adalora_orth_loss(lora)
+            loss = loss + orth_reg_weight * reg
+            aux["orth_reg"] = reg
+        aux["loss"] = loss
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(
+    config: WhisperConfig,
+    stem: StemConfig,
+    tx,
+    orth_reg_weight: float = 0.0,
+    augment_config: Optional[dict] = None,
+    use_dropout: bool = False,
+    donate: bool = True,
+):
+    """Returns jitted `train_step(state, frozen, batch) -> (state, metrics)`;
+    only `state` is donated."""
+    loss_fn = make_loss_fn(config, stem, orth_reg_weight)
+
+    def train_step(state: TrainState, frozen, batch):
+        rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)
+        if augment_config:
+            batch = dict(batch)
+            batch["input_features"] = augment_batch_jnp(
+                aug_rng, batch["input_features"], augment_config
+            )
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.trainable,
+            frozen,
+            batch,
+            drop_rng if use_dropout else None,
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            trainable=new_trainable,
+            opt_state=new_opt,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step)
+
+
+def make_eval_step(config: WhisperConfig, stem: StemConfig):
+    """jitted eval loss (teacher forcing, no augmentation/dropout)."""
+    loss_fn = make_loss_fn(config, stem, 0.0)
+
+    @jax.jit
+    def eval_step(trainable, frozen, batch):
+        _, aux = loss_fn(trainable, frozen, batch, None)
+        mask = batch["labels"] != -100
+        n_tokens = jnp.sum(mask)
+        return {"loss": aux["ce_loss"], "n_tokens": n_tokens}
+
+    return eval_step

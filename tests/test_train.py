@@ -1,0 +1,260 @@
+"""Training machinery: partitioning, optimizer, overfit, multi-device DP/TP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuspeech1_tpu.config import StemConfig, WhisperConfig
+from neuspeech1_tpu.models.init import init_params
+from neuspeech1_tpu.models.lora import init_lora, merge_lora
+from neuspeech1_tpu.models import whisper as jw
+from neuspeech1_tpu.train import optimizer as opt
+from neuspeech1_tpu.train import trainstep as ts
+
+
+def mini_cfg(**kw):
+    base = dict(
+        vocab_size=64,
+        num_mel_bins=8,
+        d_model=32,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_heads=2,
+        decoder_heads=2,
+        encoder_ffn=64,
+        decoder_ffn=64,
+        max_source_positions=16,
+        max_target_positions=16,
+        eot_id=50, sot_id=51, first_language_id=52, num_languages=2,
+        translate_id=54, transcribe_id=55, startoflm_id=56,
+        startofprev_id=57, nocaptions_id=58, notimestamps_id=59,
+        dtype="float32",
+    )
+    base.update(kw)
+    return WhisperConfig(**base)
+
+
+def make_batch(cfg, stem, b=4, t_lab=8, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = rng.standard_normal(
+        (b, stem.in_channels, cfg.max_source_positions * 4)
+    ).astype(np.float32)
+    labels = rng.integers(0, 40, (b, t_lab)).astype(np.int32)
+    labels[:, -2:] = -100
+    dec_in = np.full((b, t_lab), cfg.eot_id, np.int32)
+    dec_in[:, 0] = cfg.sot_id
+    dec_in[:, 1:] = np.where(labels[:, :-1] == -100, cfg.eot_id, labels[:, :-1])
+    return {
+        "input_features": jnp.asarray(feats),
+        "labels": jnp.asarray(labels),
+        "decoder_input_ids": jnp.asarray(dec_in),
+    }
+
+
+def test_partition_combine_roundtrip():
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    combined = {"model": params, "lora": lora}
+    pred = opt.default_trainable_pred()
+    train, frozen = opt.partition_params(combined, pred)
+    # stem + conv2 + all lora trainable
+    train_paths = {
+        opt.path_of(kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(train)[0]
+    }
+    assert any(p.startswith("lora/") for p in train_paths)
+    assert any(p.startswith("model/encoder/stem/") for p in train_paths)
+    assert not any(p.startswith("model/decoder/") for p in train_paths)
+    back = opt.combine_params(train, frozen)
+    for (kp1, a), (kp2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(combined)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        assert opt.path_of(kp1) == opt.path_of(kp2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_overfit_full_finetune():
+    """The end-to-end slice: ft_full must overfit one batch (SURVEY §7
+    stage 3)."""
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    tx = opt.make_optimizer(peak_lr=3e-3, warmup_steps=5, total_steps=400,
+                            grad_clip=1.0)
+    state, frozen = ts.init_train_state(
+        jax.random.key(2), params, None, tx, opt.default_trainable_pred(ft_full=True)
+    )
+    step = ts.make_train_step(cfg, stem, tx)
+    batch = make_batch(cfg, stem)
+    losses = []
+    for _ in range(150):
+        state, m = step(state, frozen, batch)
+        losses.append(float(m["loss"]))
+    assert losses[0] > 3.0
+    assert losses[-1] < 0.3, f"did not overfit: {losses[::30]}"
+
+
+def test_lora_plus_stem_reduces_loss():
+    """Adapter-only training (frozen random base) must still optimize; with a
+    pretrained base this is the reference's exact regime
+    (`finetune.py:176-212`)."""
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    tx = opt.make_optimizer(peak_lr=5e-3, warmup_steps=5, total_steps=400,
+                            grad_clip=1.0)
+    state, frozen = ts.init_train_state(
+        jax.random.key(2), params, lora, tx, opt.default_trainable_pred()
+    )
+    step = ts.make_train_step(cfg, stem, tx)
+    batch = make_batch(cfg, stem)
+    losses = []
+    for _ in range(80):
+        state, m = step(state, frozen, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.05, f"no progress: {losses[::20]}"
+    # frozen base unchanged
+    base0, _ = ts.model_params_of(state, frozen)
+    np.testing.assert_array_equal(
+        np.asarray(base0["decoder"]["token_embed"]),
+        np.asarray(params["decoder"]["token_embed"]),
+    )
+
+
+def test_merged_lora_matches_adapter_forward():
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    # give B nonzero values so the delta is nontrivial
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 3 else x, lora
+    )
+    batch = make_batch(cfg, stem, b=2)
+    with_adapter = jw.forward(
+        params, batch["input_features"], batch["decoder_input_ids"], cfg, stem,
+        lora=lora,
+    )
+    merged = merge_lora(params, lora)
+    with_merged = jw.forward(
+        merged, batch["input_features"], batch["decoder_input_ids"], cfg, stem
+    )
+    np.testing.assert_allclose(
+        np.asarray(with_adapter), np.asarray(with_merged), rtol=2e-4, atol=2e-4
+    )
+    # and differs from base (delta is real)
+    base_out = jw.forward(
+        params, batch["input_features"], batch["decoder_input_ids"], cfg, stem
+    )
+    assert not np.allclose(np.asarray(with_adapter), np.asarray(base_out))
+
+
+def test_grad_accumulation_equivalence():
+    """MultiSteps(2) on half-batches == one step on the full batch."""
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    pred = opt.default_trainable_pred()
+    batch = make_batch(cfg, stem, b=4)
+    half0 = {k: v[:2] for k, v in batch.items()}
+    half1 = {k: v[2:] for k, v in batch.items()}
+
+    tx_full = opt.make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=10,
+                                 grad_clip=None)
+    s_full, fz = ts.init_train_state(jax.random.key(2), params, lora, tx_full, pred)
+    step_full = ts.make_train_step(cfg, stem, tx_full, donate=False)
+    s_full, _ = step_full(s_full, fz, batch)
+
+    tx_acc = opt.make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=10,
+                                grad_clip=None, accum_steps=2)
+    s_acc, fz2 = ts.init_train_state(jax.random.key(2), params, lora, tx_acc, pred)
+    step_acc = ts.make_train_step(cfg, stem, tx_acc, donate=False)
+    s_acc, _ = step_acc(s_acc, fz2, half0)
+    s_acc, _ = step_acc(s_acc, fz2, half1)
+
+    a = jax.tree_util.tree_leaves(s_full.trainable)
+    b = jax.tree_util.tree_leaves(s_acc.trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
+
+
+def test_data_parallel_step_matches_single_device():
+    """Same step under an 8-device data mesh == single-device numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.sharding import shard_params
+
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    pred = opt.default_trainable_pred()
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=10,
+                            grad_clip=None)
+    batch = make_batch(cfg, stem, b=8)
+
+    s1, fz1 = ts.init_train_state(jax.random.key(2), params, lora, tx, pred)
+    step = ts.make_train_step(cfg, stem, tx, donate=False)
+    s1, m1 = step(s1, fz1, batch)
+
+    mesh = make_mesh(data=8)
+    sharded_params = shard_params(mesh, params)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    s8, fz8 = ts.init_train_state(jax.random.key(2), sharded_params, lora, tx, pred)
+    s8, m8 = step(s8, fz8, sharded_batch)
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s1.trainable),
+        jax.tree_util.tree_leaves(s8.trainable),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_forward_matches():
+    """2-way TP x 4-way DP mesh: forward logits match replicated run."""
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.sharding import shard_params
+
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    batch = make_batch(cfg, stem, b=4)
+    ref = jw.forward(params, batch["input_features"], batch["decoder_input_ids"],
+                     cfg, stem)
+
+    mesh = make_mesh(data=4, tensor=2)
+    p_sh = shard_params(mesh, params)
+    b_sh = jax.device_put(batch, batch_sharding(mesh))
+    fwd = jax.jit(lambda p, b: jw.forward(
+        p, b["input_features"], b["decoder_input_ids"], cfg, stem))
+    out = fwd(p_sh, b_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_eval_step():
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    pred = opt.default_trainable_pred()
+    tx = opt.make_optimizer()
+    state, frozen = ts.init_train_state(jax.random.key(1), params, None, tx, pred)
+    ev = ts.make_eval_step(cfg, stem)
+    out = ev(state.trainable, frozen, make_batch(cfg, stem))
+    assert np.isfinite(float(out["loss"]))
+    assert int(out["n_tokens"]) == 4 * 6
+
+
+def test_warmup_linear_schedule():
+    sched = opt.warmup_linear_schedule(1e-3, 10, 110)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(60)) == pytest.approx(5e-4)
+    assert float(sched(110)) == pytest.approx(0.0)
