@@ -1,0 +1,320 @@
+"""Jitted generation: greedy and beam search with fixed-shape KV caches.
+
+Functional replacement for the HF `GenerationMixin.generate` path the
+reference uses (`evaluation.py:369-386`: num_beams=5,
+repetition_penalty=5.0, no_repeat_ngram_size=2; non-English decoding feeds
+`labels[:, :4]` as the prompt, `evaluation.py:357-359`; the vendored
+generate override assembling forced ids is `utils/load_model.py:1072-1330`).
+
+Everything runs inside one `jax.jit` per (batch, prompt-length) shape:
+`lax.while_loop` over decode steps, fixed [B(,K), max_length] token buffers,
+beam reordering by gather, early exit when all sequences finish.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neuspeech1_tpu.config import StemConfig, WhisperConfig
+from neuspeech1_tpu.models import whisper as jw
+from neuspeech1_tpu.decode import logits_process as lp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    """Static decode configuration (hashable -> usable as jit static arg)."""
+
+    max_length: int = 448            # total: prompt + generated
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    early_stopping: bool = False
+    repetition_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+    suppress_ids: Tuple[int, ...] = ()
+    begin_suppress_ids: Tuple[int, ...] = ()
+    min_new_tokens: int = 0
+    eos_id: int = 50257
+    pad_id: int = 50257
+
+    @staticmethod
+    def for_model(config: WhisperConfig, **kw) -> "GenerationConfig":
+        kw.setdefault("eos_id", config.eot_id)
+        kw.setdefault("pad_id", config.eot_id)
+        kw.setdefault("max_length", config.max_target_positions)
+        # whisper always bans eot at the first free slot unless minting
+        # nocaptions; keep HF default empty here — callers opt in.
+        return GenerationConfig(**kw)
+
+
+def build_prompt(tokenizer, language="english", task="transcribe",
+                 timestamps=False):
+    """Decoder prompt = <|sot|><|lang|><|task|>[<|nots|>] as a [1, P] array;
+    the per-sample non-English path passes labels[:, :4] instead."""
+    import numpy as np
+
+    return np.asarray([tokenizer.prefix_tokens(language, task, timestamps)],
+                      dtype=np.int32)
+
+
+def _process_logits(logits, tokens, cur_len, gen: GenerationConfig,
+                    bias_spec, prompt_len: int):
+    logits = logits.astype(jnp.float32)
+    logits = lp.suppress_tokens(logits, gen.suppress_ids)
+    logits = lp.suppress_tokens_at_begin(
+        logits, cur_len, prompt_len, gen.begin_suppress_ids
+    )
+    logits = lp.apply_min_new_tokens(
+        logits, cur_len, prompt_len, gen.min_new_tokens, gen.eos_id
+    )
+    logits = lp.repetition_penalty(logits, tokens, cur_len, gen.repetition_penalty)
+    logits = lp.no_repeat_ngram(logits, tokens, cur_len, gen.no_repeat_ngram_size)
+    logits = lp.sequence_bias(logits, tokens, cur_len, bias_spec)
+    return logits
+
+
+# ======================================================================
+# greedy
+# ======================================================================
+
+@partial(jax.jit, static_argnames=("config", "stem", "gen"))
+def greedy_decode(
+    params: Params,
+    features,
+    prompt_ids,
+    config: WhisperConfig,
+    stem: StemConfig,
+    gen: GenerationConfig,
+    lora: Optional[Params] = None,
+    bias_spec=None,
+):
+    """Returns tokens [B, max_length] (prompt + generated, pad-filled)."""
+    enc = jw.encoder_apply(params, features, config, stem, lora=lora)
+    b = features.shape[0]
+    p = prompt_ids.shape[1]
+    L = gen.max_length
+    cache = jw.init_cache(params, enc, config, max_len=L)
+
+    tokens = jnp.full((b, L), gen.pad_id, jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    logits, cache = jw.decoder_apply(
+        params, tokens[:, :p], enc, config, lora=lora, cache=cache, cache_index=0
+    )
+    last = logits[:, -1]
+
+    def cond(st):
+        tokens, cache, last, cur_len, finished = st
+        return (cur_len < L) & ~jnp.all(finished)
+
+    def body(st):
+        tokens, cache, last, cur_len, finished = st
+        scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p)
+        nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, gen.pad_id, nxt)
+        tokens = jax.vmap(
+            lambda row, t, i: lax.dynamic_update_slice(row, t[None], (i,))
+        )(tokens, nxt, jnp.full((b,), cur_len))
+        finished = finished | (nxt == gen.eos_id)
+        logits, cache2 = jw.decoder_apply(
+            params, nxt[:, None], enc, config, lora=lora,
+            cache=cache, cache_index=cur_len,
+        )
+        return (tokens, cache2, logits[:, -1], cur_len + 1, finished)
+
+    init = (tokens, cache, last, jnp.asarray(p, jnp.int32), jnp.zeros((b,), bool))
+    tokens, *_ = lax.while_loop(cond, body, init)
+    return tokens
+
+
+def teacher_forcing_predict(params, features, decoder_input_ids, config, stem,
+                            lora=None):
+    """Argmax under a gold prefix (reference `evaluation.py:387-404`)."""
+    logits = jw.forward(params, features, decoder_input_ids, config, stem,
+                        lora=lora)
+    return jnp.argmax(logits, axis=-1)
+
+
+# ======================================================================
+# beam search
+# ======================================================================
+
+def _gather_beams(tree, beam_idx, batch: int, k: int):
+    """Reorder a [..., B*K, ...] cache pytree by per-batch beam indices
+    beam_idx [B, K] (values in [0, K))."""
+    flat = beam_idx + (jnp.arange(batch) * k)[:, None]  # [B, K] absolute
+    flat = flat.reshape(-1)
+
+    def g(x):
+        # leaves: [Ldepth, B*K, ...] (cache) — gather along axis 1
+        return jnp.take(x, flat, axis=1)
+
+    return jax.tree_util.tree_map(g, tree)
+
+
+@partial(jax.jit, static_argnames=("config", "stem", "gen"))
+def beam_search(
+    params: Params,
+    features,
+    prompt_ids,
+    config: WhisperConfig,
+    stem: StemConfig,
+    gen: GenerationConfig,
+    lora: Optional[Params] = None,
+    bias_spec=None,
+):
+    """HF-semantics beam search. Returns (tokens [B, max_length],
+    scores [B]) for the best hypothesis per batch element.
+
+    Finished-hypothesis score = sum_logprobs / cur_len**length_penalty with
+    cur_len the full sequence length including the prompt (HF
+    BeamHypotheses.add). early_stopping=False uses HF's is_done rule.
+    """
+    B = features.shape[0]
+    K = gen.num_beams
+    P = prompt_ids.shape[1]
+    L = gen.max_length
+    NEG = jnp.float32(-1e9)
+
+    enc = jw.encoder_apply(params, features, config, stem, lora=lora)
+    enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
+    cache = jw.init_cache(params, enc, config, max_len=L)
+
+    tokens = jnp.full((B, K, L), gen.pad_id, jnp.int32)
+    tokens = tokens.at[:, :, :P].set(prompt_ids.astype(jnp.int32)[:, None, :])
+
+    logits, cache = jw.decoder_apply(
+        params, tokens.reshape(B * K, L)[:, :P], enc, config, lora=lora,
+        cache=cache, cache_index=0,
+    )
+    last = logits[:, -1]  # [B*K, V]
+
+    alive_logp = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1)), (B, 1))  # [B,K]
+    fin_seq = jnp.full((B, K, L), gen.pad_id, jnp.int32)
+    fin_scores = jnp.full((B, K), NEG)
+    fin_exists = jnp.zeros((B, K), bool)
+
+    def is_done(fin_scores, fin_exists, alive_logp, cur_len):
+        worst_fin = jnp.min(jnp.where(fin_exists, fin_scores, jnp.inf), axis=1)
+        all_fin = jnp.all(fin_exists, axis=1)
+        if gen.early_stopping:
+            return all_fin
+        best_alive = jnp.max(alive_logp, axis=1) / (
+            cur_len.astype(jnp.float32) ** gen.length_penalty
+        )
+        return all_fin & (worst_fin >= best_alive)
+
+    def cond(st):
+        (tokens, cache, last, cur_len, alive_logp,
+         fin_seq, fin_scores, fin_exists) = st
+        return (cur_len < L) & ~jnp.all(
+            is_done(fin_scores, fin_exists, alive_logp, cur_len)
+        )
+
+    def body(st):
+        (tokens, cache, last, cur_len, alive_logp,
+         fin_seq, fin_scores, fin_exists) = st
+        V = last.shape[-1]
+
+        # HF beam search order: log_softmax FIRST, then the processor chain
+        # on the log-probs (contrast greedy, which processes raw logits).
+        logp = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+        logp = _process_logits(
+            logp, tokens.reshape(B * K, L), cur_len, gen, bias_spec, P
+        ).reshape(B, K, V)
+        total = alive_logp[..., None] + logp  # [B, K, V]
+
+        flat = total.reshape(B, K * V)
+        top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
+        top_beam = top_idx // V
+        top_tok = (top_idx % V).astype(jnp.int32)
+        is_eos = top_tok == gen.eos_id
+
+        # ---- finished update: eos candidates fold into the finished set
+        cand_len = (cur_len + 1).astype(jnp.float32)
+        cand_scores = jnp.where(
+            is_eos, top_vals / (cur_len.astype(jnp.float32) ** gen.length_penalty), NEG
+        )  # HF: normalize by length of hyp WITHOUT the eos token (= cur_len)
+        # candidate sequences: parent beam's tokens (eos not written — HF adds
+        # the hyp without the eos token; pad stays)
+        parent_tokens = jnp.take_along_axis(
+            tokens, top_beam[..., None], axis=1
+        )  # [B, 2K, L]
+        all_scores = jnp.concatenate([fin_scores, cand_scores], axis=1)  # [B, 3K]
+        all_exists = jnp.concatenate([fin_exists, is_eos], axis=1)
+        all_seqs = jnp.concatenate([fin_seq, parent_tokens], axis=1)  # [B, 3K, L]
+        keep_vals, keep_idx = lax.top_k(
+            jnp.where(all_exists, all_scores, NEG), K
+        )
+        fin_scores = keep_vals
+        fin_exists = jnp.take_along_axis(all_exists, keep_idx, axis=1)
+        fin_seq = jnp.take_along_axis(all_seqs, keep_idx[..., None], axis=1)
+
+        # ---- alive update: top K non-eos among the 2K candidates
+        alive_rank = jnp.where(is_eos, NEG, top_vals)
+        alive_vals, alive_pick = lax.top_k(alive_rank, K)  # [B, K]
+        new_beam = jnp.take_along_axis(top_beam, alive_pick, axis=1)  # [B,K]
+        new_tok = jnp.take_along_axis(top_tok, alive_pick, axis=1)
+        alive_logp = alive_vals
+
+        tokens = jnp.take_along_axis(tokens, new_beam[..., None], axis=1)
+        tokens = jax.vmap(
+            jax.vmap(lambda row, t: lax.dynamic_update_slice(row, t[None], (cur_len,)),
+                     in_axes=(0, 0)),
+            in_axes=(0, 0),
+        )(tokens, new_tok)
+
+        cache = _gather_beams(cache, new_beam, B, K)
+        logits, cache = jw.decoder_apply(
+            params, new_tok.reshape(B * K, 1), enc, config, lora=lora,
+            cache=cache, cache_index=cur_len,
+        )
+        return (tokens, cache, logits[:, -1], cur_len + 1, alive_logp,
+                fin_seq, fin_scores, fin_exists)
+
+    init = (tokens, cache, last, jnp.asarray(P, jnp.int32), alive_logp,
+            fin_seq, fin_scores, fin_exists)
+    (tokens, cache, last, cur_len, alive_logp,
+     fin_seq, fin_scores, fin_exists) = lax.while_loop(cond, body, init)
+
+    # fold still-alive beams in as hypotheses of length L (no eos reached)
+    alive_scores = alive_logp / (cur_len.astype(jnp.float32) ** gen.length_penalty)
+    all_scores = jnp.concatenate([fin_scores, alive_scores], axis=1)
+    all_exists = jnp.concatenate(
+        [fin_exists, jnp.ones_like(alive_scores, bool)], axis=1
+    )
+    all_seqs = jnp.concatenate([fin_seq, tokens], axis=1)
+    best = jnp.argmax(jnp.where(all_exists, all_scores, NEG), axis=1)
+    best_seq = jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
+    return best_seq, best_score
+
+
+def generate(
+    params: Params,
+    features,
+    prompt_ids,
+    config: WhisperConfig,
+    stem: StemConfig,
+    gen: GenerationConfig,
+    lora: Optional[Params] = None,
+    bias_spec=None,
+):
+    """Dispatch greedy vs beam; returns tokens [B, max_length]."""
+    if gen.num_beams <= 1:
+        return greedy_decode(
+            params, features, prompt_ids, config, stem, gen, lora=lora,
+            bias_spec=bias_spec,
+        )
+    seq, _ = beam_search(
+        params, features, prompt_ids, config, stem, gen, lora=lora,
+        bias_spec=bias_spec,
+    )
+    return seq

@@ -1,0 +1,223 @@
+"""Decode parity: processors vs HF implementations, greedy/beam vs HF generate."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from neuspeech1_tpu.config import StemConfig
+from neuspeech1_tpu.decode import logits_process as lp
+from neuspeech1_tpu.decode.generate import (
+    GenerationConfig,
+    beam_search,
+    greedy_decode,
+    teacher_forcing_predict,
+)
+from neuspeech1_tpu.models.convert import params_from_hf_state_dict
+
+from tests.test_model_parity import VOCAB, hf_model, small_cfg
+
+
+# ----------------------------------------------------------------------
+# processor-level parity with HF torch implementations
+# ----------------------------------------------------------------------
+
+def _rand_logits(b=3, v=50, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((b, v)).astype(np.float32)
+
+
+def test_repetition_penalty_matches_hf():
+    from transformers import RepetitionPenaltyLogitsProcessor
+
+    logits = _rand_logits()
+    toks = np.array([[1, 5, 7, 0], [2, 2, 3, 0], [9, 9, 9, 0]], np.int32)
+    cur_len = 3  # last column is garbage
+    ref = RepetitionPenaltyLogitsProcessor(5.0)(
+        torch.tensor(toks[:, :cur_len], dtype=torch.long), torch.tensor(logits)
+    ).numpy()
+    ours = np.asarray(
+        lp.repetition_penalty(jnp.asarray(logits), jnp.asarray(toks),
+                              jnp.asarray(cur_len), 5.0)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_no_repeat_ngram_matches_hf():
+    from transformers import NoRepeatNGramLogitsProcessor
+
+    logits = _rand_logits(b=2)
+    # beam 0: bigram (5, 7) appeared; current tail ends with 5 -> ban 7
+    toks = np.array([[3, 5, 7, 4, 5, 0], [1, 2, 3, 4, 5, 0]], np.int32)
+    cur_len = 5
+    ref = NoRepeatNGramLogitsProcessor(2)(
+        torch.tensor(toks[:, :cur_len], dtype=torch.long), torch.tensor(logits)
+    ).numpy()
+    ours = np.asarray(
+        lp.no_repeat_ngram(jnp.asarray(logits), jnp.asarray(toks),
+                           jnp.asarray(cur_len), 2)
+    )
+    banned_ref = ref < -1e8
+    banned_ours = ours < -1e8
+    np.testing.assert_array_equal(banned_ours, banned_ref)
+    np.testing.assert_allclose(
+        np.where(banned_ours, 0, ours), np.where(banned_ref, 0, ref), rtol=1e-6
+    )
+
+
+def test_no_repeat_ngram_trigram():
+    from transformers import NoRepeatNGramLogitsProcessor
+
+    logits = _rand_logits(b=1)
+    toks = np.array([[3, 5, 7, 9, 3, 5, 0, 0]], np.int32)
+    cur_len = 6  # tail (3,5); trigram (3,5,7) seen -> ban 7
+    ref = NoRepeatNGramLogitsProcessor(3)(
+        torch.tensor(toks[:, :cur_len], dtype=torch.long), torch.tensor(logits)
+    ).numpy()
+    ours = np.asarray(
+        lp.no_repeat_ngram(jnp.asarray(logits), jnp.asarray(toks),
+                           jnp.asarray(cur_len), 3)
+    )
+    np.testing.assert_array_equal(ours < -1e8, ref < -1e8)
+
+
+def test_sequence_bias_matches_hf():
+    from transformers import SequenceBiasLogitsProcessor
+
+    logits = _rand_logits(b=2)
+    toks = np.array([[1, 5, 7, 0], [2, 6, 8, 0]], np.int32)
+    cur_len = 3
+    bias_map = {(7,): -1.0, (5, 7, 9): 2.0, (8, 4): 0.5, (3, 2): 1.0}
+    ref = SequenceBiasLogitsProcessor(sequence_bias=dict(bias_map))(
+        torch.tensor(toks[:, :cur_len], dtype=torch.long), torch.tensor(logits)
+    ).numpy()
+    spec = lp.SequenceBiasSpec.build(bias_map)
+    ours = np.asarray(
+        lp.sequence_bias(jnp.asarray(logits), jnp.asarray(toks),
+                         jnp.asarray(cur_len), spec)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_suppress_and_force():
+    logits = jnp.asarray(_rand_logits(b=1))
+    out = lp.suppress_tokens(logits, (3, 4))
+    assert float(out[0, 3]) < -1e8 and float(out[0, 4]) < -1e8
+    forced = lp.force_tokens(logits, jnp.asarray(2), (2, 3), (11, 12))
+    assert int(np.argmax(np.asarray(forced)[0])) == 11
+    not_forced = lp.force_tokens(logits, jnp.asarray(5), (2, 3), (11, 12))
+    np.testing.assert_array_equal(np.asarray(not_forced), np.asarray(logits))
+
+
+# ----------------------------------------------------------------------
+# end-to-end generate parity vs HF on a tiny random whisper
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gen_pair():
+    cfg = small_cfg()
+    m = hf_model(cfg)
+    # neutralize whisper-specific generation defaults that assume the real
+    # 51865 vocab (begin_suppress etc.)
+    m.generation_config.begin_suppress_tokens = None
+    m.generation_config.suppress_tokens = None
+    m.generation_config.forced_decoder_ids = None
+    m.generation_config.no_timestamps_token_id = cfg.notimestamps_id
+    m.generation_config.return_timestamps = False
+    params = params_from_hf_state_dict(m.state_dict(), cfg, StemConfig("speech"))
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((2, cfg.num_mel_bins, cfg.max_source_positions * 2)
+                                ).astype(np.float32)
+    prompt = np.asarray([[cfg.sot_id, cfg.first_language_id, cfg.transcribe_id,
+                          cfg.notimestamps_id]] * 2, np.int32)
+    return cfg, m, params, feats, prompt
+
+
+def _hf_generate(m, feats, prompt, **kw):
+    with torch.no_grad():
+        out = m.generate(
+            input_features=torch.tensor(feats),
+            decoder_input_ids=torch.tensor(prompt, dtype=torch.long),
+            **kw,
+        )
+    return out.numpy()
+
+
+def test_greedy_parity(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=1,
+                       do_sample=False)
+    gen = GenerationConfig.for_model(cfg, max_length=L)
+    ours = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                    StemConfig("speech"), gen))
+    # HF strips the decoder_input_ids prompt from its output; ours keeps it
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        r = ref[i]
+        o = ours[i][P:]
+        np.testing.assert_array_equal(o[: len(r)], r, err_msg=f"row {i}")
+
+
+def test_greedy_with_penalties_parity(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=1,
+                       do_sample=False, repetition_penalty=5.0,
+                       no_repeat_ngram_size=2)
+    gen = GenerationConfig.for_model(cfg, max_length=L, repetition_penalty=5.0,
+                                     no_repeat_ngram_size=2)
+    ours = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                    StemConfig("speech"), gen))
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(
+            ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
+
+
+def test_beam_search_parity(gen_pair):
+    """Reference decode config: beam 5, rep-penalty 5.0, ngram-ban 2
+    (`evaluation.py:369-386`)."""
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=5,
+                       do_sample=False, repetition_penalty=5.0,
+                       no_repeat_ngram_size=2, length_penalty=1.0,
+                       early_stopping=False)
+    gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=5,
+                                     repetition_penalty=5.0,
+                                     no_repeat_ngram_size=2)
+    seq, score = beam_search(params, feats, prompt, cfg, StemConfig("speech"), gen)
+    ours = np.asarray(seq)
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(
+            ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
+
+
+def test_beam_search_plain_parity(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    L = 14
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=3,
+                       do_sample=False, length_penalty=1.0, early_stopping=False)
+    gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=3)
+    seq, _ = beam_search(params, feats, prompt, cfg, StemConfig("speech"), gen)
+    ours = np.asarray(seq)
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(
+            ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
+
+
+def test_teacher_forcing_matches_hf(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    rng = np.random.default_rng(3)
+    dec_in = rng.integers(0, VOCAB, (2, 6)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(input_features=torch.tensor(feats),
+                decoder_input_ids=torch.tensor(dec_in, dtype=torch.long)
+                ).logits.argmax(-1).numpy()
+    ours = np.asarray(teacher_forcing_predict(
+        params, feats, dec_in, cfg, StemConfig("speech")))
+    np.testing.assert_array_equal(ours, ref)
