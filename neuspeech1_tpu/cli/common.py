@@ -1,0 +1,147 @@
+"""Shared CLI plumbing: model/tokenizer/adapter loading and saving.
+
+Checkpoint formats understood:
+  * `<path>.npz`           — our native full-param tree (`models/convert.py`)
+  * directory with HF torch weights (pytorch_model.bin / model.safetensors)
+    — ported via `params_from_hf_state_dict` (needs torch installed)
+  * 'random'               — fresh initialization (testing / synthetic runs)
+
+Adapter checkpoints (the PEFT-checkpoint equivalent) are the trainable
+partition saved as npz: lora tree + stem/conv2 overrides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from neuspeech1_tpu.config import StemConfig, WhisperConfig
+from neuspeech1_tpu.models.convert import (
+    load_npz,
+    params_from_hf_state_dict,
+    save_npz,
+)
+from neuspeech1_tpu.models.init import init_params
+from neuspeech1_tpu.train.optimizer import combine_params
+from neuspeech1_tpu.utils.tokenizer import make_tokenizer
+
+
+def load_base_params(
+    base_model: str, config: WhisperConfig, stem: StemConfig, seed: int = 0
+):
+    """Resolve a --base_model argument into a parameter tree."""
+    import jax
+
+    if base_model == "random":
+        return init_params(jax.random.key(seed), config, stem)
+    if base_model.endswith(".npz"):
+        return load_npz(base_model)
+    if os.path.isdir(base_model):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(base_model, name)
+            if os.path.exists(p):
+                sd = _load_torch_state_dict(p)
+                return params_from_hf_state_dict(sd, config, stem)
+        npz = os.path.join(base_model, "params.npz")
+        if os.path.exists(npz):
+            return load_npz(npz)
+    raise FileNotFoundError(f"cannot resolve base model: {base_model}")
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, Any]:
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def save_full_model(out_dir: str, params, config: WhisperConfig,
+                    stem: StemConfig) -> str:
+    """Save a merged full model: params.npz + config.json (model geometry +
+    stem), the analog of the reference's `full_model/` directory
+    (`merge_lora.py:48-56`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    save_npz(os.path.join(out_dir, "params.npz"), params)
+    meta = {
+        "config": {k: getattr(config, k) for k in (
+            "vocab_size", "num_mel_bins", "d_model", "encoder_layers",
+            "decoder_layers", "encoder_heads", "decoder_heads",
+            "encoder_ffn", "decoder_ffn", "max_source_positions",
+            "max_target_positions", "eot_id", "sot_id", "first_language_id",
+            "num_languages", "translate_id", "transcribe_id", "startoflm_id",
+            "startofprev_id", "nocaptions_id", "notimestamps_id",
+        )},
+        "stem": {"kind": stem.kind, "in_channels": stem.in_channels,
+                 "dropout": stem.dropout},
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+def load_full_model(model_dir: str) -> Tuple[Any, WhisperConfig, StemConfig]:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        meta = json.load(f)
+    config = WhisperConfig(**meta["config"])
+    stem = StemConfig(**meta["stem"])
+    params = load_npz(os.path.join(model_dir, "params.npz"))
+    return params, config, stem
+
+
+def save_adapter(path: str, trainable) -> None:
+    """Save the trainable partition (lora + stem/conv2) as npz."""
+    save_npz(path, trainable)
+
+
+def load_adapter(path: str) -> Dict[str, Any]:
+    """-> {"model": {...overrides...}, "lora": {...}} (trees may be partial)."""
+    return load_npz(path)
+
+
+def apply_adapter(params, adapter: Dict[str, Any]):
+    """Overlay adapter['model'] onto params; return (params, lora)."""
+    overrides = adapter.get("model") or {}
+    lora = adapter.get("lora") or None
+
+    def overlay(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                out[k] = overlay(dst[k], v)
+            else:
+                out[k] = v
+        return out
+
+    return overlay(params, overrides), lora
+
+
+def resolve_tokenizer(spec: str, config: Optional[WhisperConfig] = None):
+    return make_tokenizer(spec, config)
+
+
+def parse_config_overrides(args) -> WhisperConfig:
+    """Build the model config from CLI args (whisper-base defaults; the
+    byte-tokenizer layout when --tokenizer=byte)."""
+    if getattr(args, "tokenizer", None) == "byte":
+        layout = WhisperConfig.layout_for_vocab(256)
+    else:
+        layout = {}
+    kw = dict(layout)
+    for name in ("d_model", "encoder_layers", "decoder_layers", "encoder_heads",
+                 "decoder_heads", "encoder_ffn", "decoder_ffn",
+                 "max_source_positions", "max_target_positions"):
+        v = getattr(args, name, None)
+        if v is not None:
+            kw[name] = v
+    if getattr(args, "bf16", True):
+        kw["dtype"] = "bfloat16"
+    else:
+        kw["dtype"] = "float32"
+    kw["remat"] = bool(getattr(args, "remat", True))
+    return WhisperConfig(**kw)

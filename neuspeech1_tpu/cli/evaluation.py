@@ -1,0 +1,196 @@
+"""Evaluation CLI — TPU-native counterpart of reference `evaluation.py`.
+
+Decodes a test manifest with jitted beam search (num_beams=5,
+repetition_penalty=5.0, no_repeat_ngram_size=2 defaults, mirroring
+`evaluation.py:369-386`), scores with the metric battery, and writes the
+reference's result-file formats. Scientific controls included: noise-input
+ablation (--noise), random-choice baseline (--random_choice), teacher
+forcing (--teacher_forcing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from neuspeech1_tpu.utils.args import add_arguments
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_arg = functools.partial(add_arguments, argparser=parser)
+    add_arg("test_data", str, None, "test jsonl manifest")
+    add_arg("model_path", str, None, "full model dir (config.json+params.npz)")
+    add_arg("base_model", str, None, "base model (npz/HF dir/'random')")
+    add_arg("lora_model", str, None, "adapter npz to apply+merge")
+    add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("stem_kind", str, "base", "projection stem kind")
+    add_arg("eeg_ch", int, 208, "signal channels")
+    add_arg("channel_slice", str, None, "named channel preset")
+    add_arg("language", str, "English", "decode language")
+    add_arg("timestamps", bool, False, "timestamped labels")
+    add_arg("filter_dataset", bool, False, "ZINNEN filter")
+    add_arg("subj", int, None, "subject filter")
+    add_arg("batch_size", int, 16, "decode batch size")
+    add_arg("num_beams", int, 5, "beam width")
+    add_arg("repetition_penalty", float, 5.0, "repetition penalty")
+    add_arg("no_repeat_ngram_size", int, 2, "ngram ban size")
+    add_arg("max_new_tokens", int, 128, "decode budget after the prompt")
+    add_arg("teacher_forcing", bool, False, "argmax under gold prefix")
+    add_arg("noise", bool, False, "replace inputs with noise (ablation)")
+    add_arg("random_choice", bool, False, "random-label baseline")
+    add_arg("sequence_bias", bool, False, "train-set keyword bias")
+    add_arg("train_data", str, None, "train jsonl (for --sequence_bias)")
+    add_arg("bias_weight", float, -1.0, "sequence bias value")
+    add_arg("post_processing", bool, False, "ascii+lowercase post-processing")
+    add_arg("bertscore_model", str, None, "local encoder dir for BERTScore")
+    add_arg("perplexity_model", str, None, "local causal-LM dir for ppl")
+    add_arg("output_dir", str, "eval_output/", "results directory")
+    add_arg("bf16", bool, True, "bf16 compute")
+    # geometry overrides for non-base models (byte-tokenizer smoke runs)
+    for name in ("d_model", "encoder_layers", "decoder_layers", "encoder_heads",
+                 "decoder_heads", "encoder_ffn", "decoder_ffn",
+                 "max_source_positions", "max_target_positions"):
+        add_arg(name, int, None, f"override {name}")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from neuspeech1_tpu.utils.args import print_arguments
+
+    print_arguments(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuspeech1_tpu.cli import common
+    from neuspeech1_tpu.config import LABEL_IGNORE_ID, StemConfig
+    from neuspeech1_tpu.data.collate import Collator
+    from neuspeech1_tpu.data.dataset import EEGDataset
+    from neuspeech1_tpu.data.loader import DataLoader
+    from neuspeech1_tpu.decode.generate import (
+        GenerationConfig, generate, teacher_forcing_predict,
+    )
+    from neuspeech1_tpu.metrics.battery import (
+        compute_battery, random_choice_baseline, write_results,
+    )
+    from neuspeech1_tpu.models.lora import merge_lora
+    from neuspeech1_tpu.utils import text as tx
+
+    # ---- model -------------------------------------------------------
+    if args.model_path:
+        params, config, stem = common.load_full_model(args.model_path)
+        tokenizer = common.resolve_tokenizer(args.tokenizer, config)
+    else:
+        config = common.parse_config_overrides(args)
+        stem = StemConfig(args.stem_kind, in_channels=args.eeg_ch)
+        tokenizer = common.resolve_tokenizer(args.tokenizer, config)
+        config = tokenizer.config
+        if not args.bf16:
+            import dataclasses
+
+            config = dataclasses.replace(config, dtype="float32")
+        params = common.load_base_params(args.base_model, config, stem)
+        if args.lora_model:
+            adapter = common.load_adapter(args.lora_model)
+            params, lora = common.apply_adapter(params, adapter)
+            if lora:
+                params = merge_lora(params, lora)
+
+    # ---- data --------------------------------------------------------
+    # clip padding must match the model geometry: stem stride budget 4x
+    # (SURVEY §2 geometry invariant; 1500 frames <-> 6000 samples @200 Hz)
+    from neuspeech1_tpu.config import SIGNAL_SAMPLE_RATE
+
+    max_dur = min(30.0, config.max_source_positions * 4 / SIGNAL_SAMPLE_RATE)
+    ds = EEGDataset(
+        args.test_data, tokenizer, mode="test", modal_ch=args.eeg_ch,
+        channel_slice=args.channel_slice, language=args.language,
+        filter_dataset=args.filter_dataset, timestamps=args.timestamps,
+        subj=args.subj, max_duration=max_dur,
+    )
+    collator = Collator(
+        pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
+        max_label_len=min(128, config.max_target_positions),
+    )
+    loader = DataLoader(ds, collator, args.batch_size, shuffle=False,
+                        drop_last=False, prefetch=2)
+
+    bias_spec = None
+    if args.sequence_bias and args.train_data:
+        from neuspeech1_tpu.decode.sequence_bias import build_sequence_bias
+
+        bias_spec = build_sequence_bias(
+            args.train_data, tokenizer, bias=args.bias_weight
+        )
+
+    prompt = np.asarray(
+        [tokenizer.prefix_tokens(args.language, "transcribe",
+                                 timestamps=args.timestamps)],
+        np.int32,
+    )
+    gen = GenerationConfig.for_model(
+        config,
+        max_length=prompt.shape[1] + args.max_new_tokens,
+        num_beams=args.num_beams,
+        repetition_penalty=args.repetition_penalty,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
+    )
+
+    preds, refs = [], []
+    rng = np.random.default_rng(0)
+    for batch in loader:
+        feats = batch["input_features"]
+        if args.noise:  # noise-input ablation (evaluation.py:354-355)
+            feats = rng.standard_normal(feats.shape).astype(np.float32)
+        labels = batch["labels"]
+        b = feats.shape[0]
+        if args.teacher_forcing:
+            out = np.asarray(teacher_forcing_predict(
+                params, jnp.asarray(feats), jnp.asarray(batch["decoder_input_ids"]),
+                config, stem))
+            # shift: prediction at position t-1 predicts token t
+            for i in range(b):
+                lab = labels[i]
+                n = int((lab != LABEL_IGNORE_ID).sum())
+                preds.append(tokenizer.decode(out[i][: n]))
+        else:
+            bp = np.repeat(prompt, b, axis=0)
+            out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
+                                      stem, gen, bias_spec=bias_spec))
+            preds.extend(tokenizer.batch_decode(out))
+        for i in range(b):
+            lab = labels[i]
+            refs.append(tokenizer.decode(lab))
+
+    if args.random_choice:  # evaluation.py:461-476
+        preds = random_choice_baseline(refs, seed=0)
+
+    if args.post_processing:  # evaluation.py:417-421
+        preds = tx.convert_lower_text(tx.filter_ascii_list(preds))
+        refs = tx.convert_lower_text(tx.filter_ascii_list(refs))
+
+    metrics = compute_battery(
+        preds, refs,
+        bertscore_model=args.bertscore_model,
+        perplexity_model=args.perplexity_model,
+    )
+    base = os.path.splitext(os.path.basename(args.test_data))[0]
+    tag = "tf" if args.teacher_forcing else f"beam{args.num_beams}"
+    if args.noise:
+        tag += "_noise"
+    if args.random_choice:
+        tag += "_random"
+    out_prefix = os.path.join(args.output_dir, f"{base}_{tag}")
+    files = write_results(out_prefix, preds, refs, metrics)
+    print({k: round(float(v), 4) for k, v in metrics.items()})
+    print(f"[evaluation] wrote {files}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Speech-modality eval CLI — counterpart of reference `evaluation_speech.py`.
+
+Pipeline sanity check: run the (stock-weight) Whisper speech model on the
+paired 16 kHz audio of the same jsonl manifests, decode, score. Validates
+data/labels independently of the EEG stem.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from neuspeech1_tpu.utils.args import add_arguments
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_arg = functools.partial(add_arguments, argparser=parser)
+    add_arg("test_data", str, None, "test jsonl manifest (needs speech paths)")
+    add_arg("model_path", str, None, "full model dir (config.json+params.npz)")
+    add_arg("base_model", str, "random", "base params (npz/HF dir/'random')")
+    add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("language", str, "English", "decode language")
+    add_arg("batch_size", int, 8, "decode batch size")
+    add_arg("num_beams", int, 5, "beam width")
+    add_arg("repetition_penalty", float, 1.0, "repetition penalty")
+    add_arg("no_repeat_ngram_size", int, 0, "ngram ban")
+    add_arg("max_new_tokens", int, 128, "decode budget")
+    add_arg("output_dir", str, "eval_output/", "results dir")
+    add_arg("bf16", bool, True, "bf16 compute")
+    for name in ("d_model", "encoder_layers", "decoder_layers", "encoder_heads",
+                 "decoder_heads", "encoder_ffn", "decoder_ffn",
+                 "max_source_positions", "max_target_positions"):
+        add_arg(name, int, None, f"override {name}")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from neuspeech1_tpu.utils.args import print_arguments
+
+    print_arguments(args)
+
+    import jax.numpy as jnp
+
+    from neuspeech1_tpu.cli import common
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.data.collate import Collator
+    from neuspeech1_tpu.data.dataset import SpeechDataset
+    from neuspeech1_tpu.data.loader import DataLoader
+    from neuspeech1_tpu.decode.generate import GenerationConfig, generate
+    from neuspeech1_tpu.metrics.battery import compute_battery, write_results
+
+    if args.model_path:
+        params, config, stem = common.load_full_model(args.model_path)
+        tokenizer = common.resolve_tokenizer(args.tokenizer, config)
+    else:
+        config = common.parse_config_overrides(args)
+        stem = StemConfig("speech")
+        tokenizer = common.resolve_tokenizer(args.tokenizer, config)
+        config = tokenizer.config
+        params = common.load_base_params(args.base_model, config, stem)
+
+    ds = SpeechDataset(args.test_data, tokenizer, language=args.language,
+                       n_mels=config.num_mel_bins)
+    collator = Collator(pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
+                        max_label_len=128)
+    loader = DataLoader(ds, collator, args.batch_size, shuffle=False,
+                        drop_last=False, prefetch=2)
+
+    prompt = np.asarray(
+        [tokenizer.prefix_tokens(args.language, "transcribe")], np.int32
+    )
+    gen = GenerationConfig.for_model(
+        config,
+        max_length=prompt.shape[1] + args.max_new_tokens,
+        num_beams=args.num_beams,
+        repetition_penalty=args.repetition_penalty,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
+    )
+
+    preds, refs = [], []
+    for batch in loader:
+        feats = batch["input_features"]
+        b = feats.shape[0]
+        out = np.asarray(
+            generate(params, jnp.asarray(feats), np.repeat(prompt, b, 0),
+                     config, stem, gen)
+        )
+        preds.extend(tokenizer.batch_decode(out))
+        for i in range(b):
+            refs.append(tokenizer.decode(batch["labels"][i]))
+
+    metrics = compute_battery(preds, refs)
+    base = os.path.splitext(os.path.basename(args.test_data))[0]
+    files = write_results(
+        os.path.join(args.output_dir, f"{base}_speech"), preds, refs, metrics
+    )
+    print({k: round(float(v), 4) for k, v in metrics.items()})
+    print(f"[evaluation_speech] wrote {files}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,250 @@
+"""Fine-tune CLI — TPU-native counterpart of reference `finetune.py`.
+
+Flag surface mirrors `finetune.py:25-64`; the HF Trainer + PEFT stack is
+replaced by the jitted train step, optax AdamW, Orbax gated checkpoints and
+the ('data','fsdp','tensor') mesh. Cross-dataset transfer (load a previous
+run's adapters, merge them, re-init the stem on channel mismatch —
+`finetune.py:150-163`) is supported via --lora_model/--lora_eeg_ch.
+
+Example (synthetic smoke run):
+  python -m neuspeech1_tpu.cli.finetune --train_data=/tmp/c/train.jsonl \
+      --val_data=/tmp/c/val.jsonl --base_model=random --tokenizer=byte \
+      --eeg_ch=8 --d_model=64 --encoder_layers=2 --decoder_layers=2 \
+      --encoder_heads=2 --decoder_heads=2 --encoder_ffn=128 --decoder_ffn=128 \
+      --max_source_positions=64 --max_target_positions=48 --bf16=False \
+      --max_steps=20 --per_device_train_batch_size=4 --output_dir=/tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from neuspeech1_tpu.utils.args import add_arguments
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_arg = functools.partial(add_arguments, argparser=parser)
+    # data (reference finetune.py:25-42)
+    add_arg("train_data", str, None, "train jsonl manifest")
+    add_arg("val_data", str, None, "validation jsonl manifest")
+    add_arg("test_data", str, None, "optional test jsonl manifest")
+    add_arg("language", str, "English", "dataset language (None = per-row)")
+    add_arg("timestamps", bool, False, "train with timestamp labels")
+    add_arg("combine_sentences", bool, False, "random sentence combining aug")
+    add_arg("split_sentences", bool, False, "random sentence splitting aug")
+    add_arg("filter_dataset", bool, False, "keep only ZINNEN <30s rows")
+    add_arg("subj", int, None, "restrict to one subject id")
+    add_arg("data_ratio", float, 1.0, "use the first fraction of the data")
+    add_arg("augment_config_path", str, None, "augmentation JSON path")
+    add_arg("eeg_ch", int, 208, "signal channels (208 gwilliams/273 schoffelen)")
+    add_arg("channel_slice", str, None, "named channel preset or None")
+    add_arg("min_audio_len", float, 0.5, "min clip seconds")
+    add_arg("max_audio_len", float, 30.0, "max clip seconds")
+    # model
+    add_arg("base_model", str, "random", "npz / HF dir / 'random'")
+    add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("stem_kind", str, "base", "projection stem: base|replace|speech")
+    add_arg("modal", str, "eeg", "eeg or speech")
+    add_arg("d_model", int, None, "override d_model")
+    add_arg("encoder_layers", int, None, "override encoder layers")
+    add_arg("decoder_layers", int, None, "override decoder layers")
+    add_arg("encoder_heads", int, None, "override encoder heads")
+    add_arg("decoder_heads", int, None, "override decoder heads")
+    add_arg("encoder_ffn", int, None, "override encoder ffn")
+    add_arg("decoder_ffn", int, None, "override decoder ffn")
+    add_arg("max_source_positions", int, None, "override source positions")
+    add_arg("max_target_positions", int, None, "override target positions")
+    add_arg("bf16", bool, True, "bf16 compute (fp32 otherwise)")
+    add_arg("remat", bool, True, "rematerialize transformer layers")
+    # adapters (reference finetune.py:189-212)
+    add_arg("use_adalora", bool, True, "AdaLoRA (True) or plain LoRA (False)")
+    add_arg("lora_rank", int, None, "LoRA rank (default 32; AdaLoRA init_r 12)")
+    add_arg("lora_alpha", float, None, "LoRA alpha (default 64; AdaLoRA 32)")
+    add_arg("adalora_target_r", int, 4, "AdaLoRA target rank")
+    add_arg("adalora_tinit", int, 200, "AdaLoRA warmup steps")
+    add_arg("adalora_tfinal", int, 1000, "AdaLoRA final steps")
+    add_arg("adalora_deltaT", int, 10, "AdaLoRA reallocation interval")
+    add_arg("orth_reg_weight", float, 0.5, "AdaLoRA orthogonal reg weight")
+    add_arg("ft_full", bool, False, "full fine-tune (no adapters)")
+    add_arg("fine_tune_layers", int, None, "unused placeholder (parity)")
+    add_arg("lora_model", str, None, "pretrained adapter npz to merge first")
+    add_arg("lora_eeg_ch", int, None, "channel count of --lora_model's stem")
+    # training (reference finetune.py:231-253)
+    add_arg("output_dir", str, "output/", "checkpoints + logs dir")
+    add_arg("learning_rate", float, 1e-3, "peak lr")
+    add_arg("warmup_steps", int, 500, "lr warmup steps")
+    add_arg("num_train_epochs", int, 500, "epochs (ignored if max_steps)")
+    add_arg("max_steps", int, None, "hard step limit")
+    add_arg("per_device_train_batch_size", int, 64, "train batch per device")
+    add_arg("per_device_eval_batch_size", int, 64, "eval batch per device")
+    add_arg("gradient_accumulation_steps", int, 1, "optax MultiSteps accum")
+    add_arg("eval_steps", int, 1000, "eval interval")
+    add_arg("save_steps", int, 1000, "save interval")
+    add_arg("logging_steps", int, 100, "log interval")
+    add_arg("save_total_limit", int, 5, "max checkpoints kept")
+    add_arg("resume_from_checkpoint", bool, False, "resume latest checkpoint")
+    add_arg("num_workers", int, 4, "loader threads")
+    add_arg("weight_decay", float, 0.0, "AdamW weight decay")
+    add_arg("max_grad_norm", float, 1.0, "gradient clipping")
+    add_arg("label_max_length", int, 128, "static label pad length")
+    # mesh
+    add_arg("mesh_data", int, -1, "data-parallel mesh axis (-1 = all)")
+    add_arg("mesh_fsdp", int, 1, "fsdp mesh axis")
+    add_arg("mesh_tensor", int, 1, "tensor-parallel mesh axis")
+    add_arg("seed", int, 0, "global seed")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from neuspeech1_tpu.utils.args import print_arguments
+
+    print_arguments(args)
+
+    import jax
+
+    from neuspeech1_tpu.cli import common
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.data.collate import Collator
+    from neuspeech1_tpu.data.dataset import EEGDataset
+    from neuspeech1_tpu.data.loader import DataLoader
+    from neuspeech1_tpu.models.lora import init_lora, merge_lora
+    from neuspeech1_tpu.models.init import init_stem
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.sharding import shard_params
+    from neuspeech1_tpu.train import optimizer as opt
+    from neuspeech1_tpu.train import trainstep as ts
+    from neuspeech1_tpu.train.trainer import Trainer
+
+    config = common.parse_config_overrides(args)
+    stem = StemConfig(args.stem_kind, in_channels=args.eeg_ch)
+    tokenizer = common.resolve_tokenizer(args.tokenizer, config)
+    config = tokenizer.config
+
+    augment_config = None
+    if args.augment_config_path:
+        with open(args.augment_config_path) as f:
+            augment_config = json.load(f)
+
+    # ---- datasets / loaders -----------------------------------------
+    def make_ds(path, mode):
+        return EEGDataset(
+            path, tokenizer, mode=mode, modal_ch=args.eeg_ch,
+            channel_slice=args.channel_slice, language=args.language,
+            filter_dataset=args.filter_dataset, timestamps=args.timestamps,
+            min_duration=args.min_audio_len, max_duration=args.max_audio_len,
+            combine_sentences=args.combine_sentences,
+            split_sentences=args.split_sentences, subj=args.subj,
+            augment_config=augment_config, seed=args.seed,
+        )
+
+    train_ds = make_ds(args.train_data, "train")
+    if args.data_ratio < 1.0:
+        train_ds.rows = train_ds.rows[: int(len(train_ds.rows) * args.data_ratio)]
+    val_ds = make_ds(args.val_data, "eval") if args.val_data else None
+
+    collator = Collator(
+        pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
+        max_label_len=args.label_max_length,
+    )
+    mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
+    train_loader = DataLoader(
+        train_ds, collator, args.per_device_train_batch_size, shuffle=True,
+        seed=args.seed, num_threads=args.num_workers, prefetch=2,
+        device_put=True, sharding=batch_sharding(mesh),
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    val_loader = (
+        DataLoader(val_ds, collator, args.per_device_eval_batch_size,
+                   shuffle=False, drop_last=False,
+                   num_threads=args.num_workers, prefetch=2,
+                   device_put=True, sharding=batch_sharding(mesh),
+                   process_index=jax.process_index(),
+                   process_count=jax.process_count())
+        if val_ds else None
+    )
+
+    # ---- model + adapters -------------------------------------------
+    params = common.load_base_params(args.base_model, config, stem, args.seed)
+
+    if args.lora_model:  # cross-dataset transfer (finetune.py:150-163)
+        adapter = common.load_adapter(args.lora_model)
+        params, prev_lora = common.apply_adapter(params, adapter)
+        if prev_lora:
+            params = merge_lora(params, prev_lora)
+        if args.lora_eeg_ch is not None and args.lora_eeg_ch != args.eeg_ch:
+            # re-initialize the stem for the new channel count
+            params["encoder"]["stem"] = init_stem(
+                jax.random.key(args.seed + 1), config, stem
+            )
+            print(f"[finetune] stem re-initialized: {args.lora_eeg_ch} -> "
+                  f"{args.eeg_ch} channels")
+
+    lora = None
+    adalora_cfg = None
+    if not args.ft_full:
+        if args.use_adalora:
+            rank = args.lora_rank or 12
+            alpha = args.lora_alpha or 32.0
+            lora = init_lora(jax.random.key(args.seed + 2), config, rank=rank,
+                             alpha=alpha, adalora=True)
+            adalora_cfg = {
+                "init_r": rank, "target_r": args.adalora_target_r,
+                "tinit": args.adalora_tinit, "tfinal": args.adalora_tfinal,
+                "deltaT": args.adalora_deltaT,
+                "total_steps": args.max_steps or 10_000,
+            }
+        else:
+            lora = init_lora(jax.random.key(args.seed + 2), config,
+                             rank=args.lora_rank or 32,
+                             alpha=args.lora_alpha or 64.0)
+
+    params = shard_params(mesh, params)
+    if lora is not None:
+        lora = shard_params(mesh, lora)
+
+    total_steps = args.max_steps or (
+        args.num_train_epochs * max(len(train_loader), 1)
+    )
+    tx = opt.make_optimizer(
+        peak_lr=args.learning_rate, warmup_steps=args.warmup_steps,
+        total_steps=total_steps, weight_decay=args.weight_decay,
+        grad_clip=args.max_grad_norm,
+        accum_steps=args.gradient_accumulation_steps,
+    )
+    pred = opt.default_trainable_pred(ft_full=args.ft_full)
+    state, frozen = ts.init_train_state(
+        jax.random.key(args.seed + 3), params, lora, tx, pred
+    )
+
+    trainer = Trainer(
+        config, stem, tx, state, frozen,
+        train_loader=train_loader, eval_loader=val_loader,
+        output_dir=args.output_dir, max_steps=args.max_steps,
+        num_epochs=None if args.max_steps else args.num_train_epochs,
+        eval_steps=args.eval_steps, save_steps=args.save_steps,
+        logging_steps=args.logging_steps, max_to_keep=args.save_total_limit,
+        best_only_save=True,
+        orth_reg_weight=args.orth_reg_weight if (lora is not None and args.use_adalora) else 0.0,
+        adalora=adalora_cfg, tensorboard=True,
+    )
+    state = trainer.train(resume_from_checkpoint=args.resume_from_checkpoint)
+
+    # save final adapter (PEFT-checkpoint equivalent)
+    from neuspeech1_tpu.cli.common import save_adapter
+
+    final = os.path.join(args.output_dir, "adapter_final.npz")
+    save_adapter(final, jax.device_get(state.trainable))
+    print(f"[finetune] final adapter saved to {final}")
+    trainer.ckpt.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

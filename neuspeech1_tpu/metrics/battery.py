@@ -101,8 +101,17 @@ def write_results(
 
 
 def random_choice_baseline(refs: List[str], seed: int = 0) -> List[str]:
-    """Random-label control: each prediction is another sample's reference
-    (reference `evaluation.py:461-476`)."""
+    """Random-label control: each prediction is ANOTHER sample's reference
+    (reference `evaluation.py:461-476` uses random.choice over other
+    indices). A random shift of a random permutation guarantees pred[i] is
+    never refs[i] itself."""
+    n = len(refs)
+    if n < 2:
+        return list(refs)
     rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(refs))
-    return [refs[i] for i in idx]
+    perm = rng.permutation(n)
+    shift = int(rng.integers(1, n))
+    inv = np.empty(n, dtype=int)
+    inv[perm] = np.arange(n)
+    out_idx = perm[(inv + shift) % n]  # derangement of the identity
+    return [refs[i] for i in out_idx]

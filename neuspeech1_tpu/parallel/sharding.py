@@ -25,7 +25,9 @@ def _spec_for(path: Tuple[str, ...], shape) -> P:
 
     if last != "w":
         if "token_embed" in name:
-            return P("fsdp", "tensor")
+            # vocab (51865) is odd -> not shardable without padding; shard
+            # the feature dim over 'tensor' instead
+            return P(None, "tensor")
         if last == "b" and ("fc1" in keys or any(p in keys for p in ("q", "k", "v"))):
             return P(None, "tensor")  # column-parallel bias rides the shard
         return P()  # other biases, norms, pos embeds, lora alpha/E/mask

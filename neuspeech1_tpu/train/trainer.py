@@ -1,0 +1,243 @@
+"""Training loop: step scheduling, eval, gated checkpointing, logging.
+
+TPU-native replacement for the reference's HF `Seq2SeqTrainer` usage
+(`finetune.py:269-282`): the hot loop is one jitted train step fed by the
+prefetching DataLoader; evaluation runs every `eval_steps`; checkpoints are
+Orbax, gated on best eval loss (parity with `utils/callback.py:11-32`);
+resume restores adapters + optimizer state only (`finetune.py:279`
+semantics). Logging goes to stdout + a metrics.jsonl file (+ TensorBoard via
+tf.summary when available — reference `finetune.py:243`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from neuspeech1_tpu.train import trainstep as ts
+from neuspeech1_tpu.train.checkpoint import CheckpointManager
+
+
+class Trainer:
+    def __init__(
+        self,
+        config,
+        stem,
+        tx,
+        state: ts.TrainState,
+        frozen,
+        train_loader,
+        eval_loader=None,
+        output_dir: str = "output",
+        max_steps: Optional[int] = None,
+        num_epochs: Optional[int] = None,
+        eval_steps: int = 1000,
+        save_steps: int = 1000,
+        logging_steps: int = 100,
+        max_to_keep: int = 5,
+        best_only_save: bool = True,
+        augment_config: Optional[dict] = None,
+        orth_reg_weight: float = 0.0,
+        adalora: Optional[dict] = None,
+        tensorboard: bool = False,
+        batch_transform: Optional[Callable] = None,
+    ):
+        self.config = config
+        self.stem = stem
+        self.tx = tx
+        self.state = state
+        self.frozen = frozen
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.output_dir = output_dir
+        self.max_steps = max_steps
+        self.num_epochs = num_epochs
+        self.eval_steps = eval_steps
+        self.save_steps = save_steps
+        self.logging_steps = logging_steps
+        self.augment_config = augment_config
+        self.adalora = adalora
+        self.batch_transform = batch_transform
+        os.makedirs(output_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(
+            os.path.join(output_dir, "checkpoints"),
+            max_to_keep=max_to_keep,
+            best_only=best_only_save,
+        )
+        self.train_step = ts.make_train_step(
+            config, stem, tx, orth_reg_weight=orth_reg_weight,
+            augment_config=augment_config,
+            track_adalora_importance=bool(adalora),
+        )
+        self.eval_step = ts.make_eval_step(config, stem)
+        self._log_file = open(
+            os.path.join(output_dir, "metrics.jsonl"), "a", encoding="utf-8"
+        )
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(output_dir, "tb")
+                )
+            except Exception:
+                self._tb = None
+        self._imp_ema = None  # AdaLoRA sensitivity EMA (PEFT beta=0.85)
+
+    # ------------------------------------------------------------------
+    def log(self, record: Dict[str, Any]):
+        record = {
+            k: (float(v) if isinstance(v, (int, float, np.floating)) or hasattr(v, "item") else v)
+            for k, v in record.items()
+        }
+        self._log_file.write(json.dumps(record) + "\n")
+        self._log_file.flush()
+        step = record.get("step", 0)
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in record.items():
+                    if isinstance(v, float) and k != "step":
+                        tf.summary.scalar(k, v, step=int(step))
+        msg = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items()
+        )
+        print(f"[train] {msg}", flush=True)
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> float:
+        if self.eval_loader is None:
+            return float("nan")
+        total, n = 0.0, 0
+        for batch in self.eval_loader:
+            batch = self._prep(batch)
+            out = self.eval_step(self.state.trainable, self.frozen, batch)
+            toks = int(out["n_tokens"])
+            total += float(out["loss"]) * toks
+            n += toks
+        if n == 0:
+            return float("nan")  # empty eval set must not look like loss 0
+        return total / n
+
+    def _prep(self, batch):
+        import jax.numpy as jnp
+
+        batch = {
+            k: jnp.asarray(v) for k, v in batch.items() if not k.startswith("_")
+        }
+        if self.batch_transform is not None:
+            batch = self.batch_transform(batch)
+        return batch
+
+    # ------------------------------------------------------------------
+    def train(self, resume_from_checkpoint: bool = False):
+        if resume_from_checkpoint:
+            restored = self.ckpt.restore_latest(self.state)
+            if restored is not None:
+                self.state = restored
+                print(
+                    f"[train] resumed from step {int(jax.device_get(self.state.step))}",
+                    flush=True,
+                )
+
+        step_num = int(jax.device_get(self.state.step))
+        t_last = time.perf_counter()
+        samples_since = 0
+        epoch = 0
+        done = False
+        while not done:
+            if self.num_epochs is not None and epoch >= self.num_epochs:
+                break
+            for batch in self.train_loader:
+                bsz = next(iter(batch.values())).shape[0]
+                batch = self._prep(batch)
+                self.state, metrics = self.train_step(
+                    self.state, self.frozen, batch
+                )
+                step_num += 1
+                samples_since += bsz
+
+                if self.adalora:
+                    imp = metrics.pop("adalora_importance", None)
+                    if imp is not None:
+                        self._update_importance_ema(imp)
+                    if step_num % self.adalora.get("deltaT", 10) == 0:
+                        self._adalora_update(step_num)
+
+                if step_num % self.logging_steps == 0:
+                    dt = time.perf_counter() - t_last
+                    self.log(
+                        {
+                            "step": step_num,
+                            "loss": float(metrics["loss"]),
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "samples_per_sec": samples_since / max(dt, 1e-9),
+                            "epoch": epoch,
+                        }
+                    )
+                    t_last = time.perf_counter()
+                    samples_since = 0
+
+                if self.eval_loader is not None and step_num % self.eval_steps == 0:
+                    eval_loss = self.evaluate()
+                    self.log({"step": step_num, "eval_loss": eval_loss})
+                    if step_num % self.save_steps == 0:
+                        saved = self.ckpt.save(self.state, eval_loss=eval_loss)
+                        if saved:
+                            self.log({"step": step_num, "saved": 1,
+                                      "best_eval": self.ckpt.best_eval})
+                elif step_num % self.save_steps == 0 and self.eval_loader is None:
+                    self.ckpt.save(self.state, force=True)
+
+                if self.max_steps is not None and step_num >= self.max_steps:
+                    done = True
+                    break
+            epoch += 1
+
+        # final save (reference `finetune.py:282` checkpoint-final)
+        self.ckpt.save(self.state, force=True)
+        self.ckpt.wait()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _adalora_update(self, step_num: int):
+        """AdaLoRA rank-budget update on the host schedule."""
+        from neuspeech1_tpu.models.lora import (
+            adalora_budget,
+            adalora_update_masks,
+        )
+
+        cfg = self.adalora
+        budget = adalora_budget(
+            step_num,
+            cfg.get("init_r", 12),
+            cfg.get("target_r", 4),
+            cfg.get("tinit", 200),
+            cfg.get("tfinal", 1000),
+            cfg.get("total_steps", self.max_steps or 10_000),
+        )
+        lora = self.state.trainable.get("lora")
+        if lora and self._imp_ema is not None:
+            new_lora = adalora_update_masks(lora, self._imp_ema, budget)
+            import dataclasses
+
+            self.state = dataclasses.replace(
+                self.state,
+                trainable={**self.state.trainable, "lora": new_lora},
+            )
+
+    def _update_importance_ema(self, imp, beta: float = 0.85):
+        if self._imp_ema is None:
+            self._imp_ema = imp
+        else:
+            self._imp_ema = jax.tree_util.tree_map(
+                lambda e, i: beta * e + (1 - beta) * i, self._imp_ema, imp
+            )

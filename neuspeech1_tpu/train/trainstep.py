@@ -106,9 +106,12 @@ def make_train_step(
     augment_config: Optional[dict] = None,
     use_dropout: bool = False,
     donate: bool = True,
+    track_adalora_importance: bool = False,
 ):
     """Returns jitted `train_step(state, frozen, batch) -> (state, metrics)`;
-    only `state` is donated."""
+    only `state` is donated. With `track_adalora_importance`, metrics carry a
+    per-rank sensitivity tree (|θ·g| over A/B/E) for the AdaLoRA budget
+    allocator (reference AdaLoRA config `finetune.py:205-208`)."""
     loss_fn = make_loss_fn(config, stem, orth_reg_weight)
 
     def train_step(state: TrainState, frozen, batch):
@@ -128,6 +131,12 @@ def make_train_step(
         new_trainable = optax.apply_updates(state.trainable, updates)
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if track_adalora_importance:
+            from neuspeech1_tpu.models.lora import adalora_importance
+
+            metrics["adalora_importance"] = adalora_importance(
+                state.trainable["lora"], grads["lora"]
+            )
         new_state = TrainState(
             step=state.step + 1,
             trainable=new_trainable,

@@ -1,0 +1,161 @@
+"""Trainer loop, orbax checkpointing, best-eval gating, resume, AdaLoRA."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from neuspeech1_tpu.config import StemConfig
+from neuspeech1_tpu.data.collate import Collator
+from neuspeech1_tpu.data.dataset import EEGDataset
+from neuspeech1_tpu.data.loader import DataLoader
+from neuspeech1_tpu.models.init import init_params
+from neuspeech1_tpu.models.lora import adalora_budget, init_lora
+from neuspeech1_tpu.train import optimizer as opt
+from neuspeech1_tpu.train import trainstep as ts
+from neuspeech1_tpu.train.checkpoint import CheckpointManager
+from neuspeech1_tpu.train.trainer import Trainer
+
+from tests.test_train import make_batch, mini_cfg
+
+
+class ArrayLoader:
+    """Loader stub yielding the same batch (host numpy) each epoch."""
+
+    def __init__(self, batch, n=2):
+        self.batch = {k: np.asarray(v) for k, v in batch.items()}
+        self.n = n
+
+    def __iter__(self):
+        for _ in range(self.n):
+            yield dict(self.batch)
+
+    def __len__(self):
+        return self.n
+
+
+def _setup(tmp_path, use_adalora=False, **trainer_kw):
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8, adalora=use_adalora)
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=2, total_steps=100)
+    state, frozen = ts.init_train_state(
+        jax.random.key(2), params, lora, tx, opt.default_trainable_pred()
+    )
+    batch = make_batch(cfg, stem)
+    trainer = Trainer(
+        cfg, stem, tx, state, frozen,
+        train_loader=ArrayLoader(batch),
+        eval_loader=ArrayLoader(batch, n=1),
+        output_dir=str(tmp_path / "out"),
+        logging_steps=5,
+        **trainer_kw,
+    )
+    return trainer
+
+
+def test_trainer_runs_and_checkpoints(tmp_path):
+    trainer = _setup(tmp_path, max_steps=12, eval_steps=4, save_steps=4)
+    state = trainer.train()
+    assert int(jax.device_get(state.step)) == 12
+    log = open(os.path.join(trainer.output_dir, "metrics.jsonl")).read()
+    assert '"eval_loss"' in log
+    ckdir = os.path.join(trainer.output_dir, "checkpoints")
+    trainer.ckpt.wait()
+    assert any(d.isdigit() for d in os.listdir(ckdir))
+    trainer.ckpt.close()
+
+
+def test_resume_restores_step_and_optimizer(tmp_path):
+    trainer = _setup(tmp_path, max_steps=8, eval_steps=4, save_steps=4)
+    state = trainer.train()
+    t8 = jax.device_get(jax.tree_util.tree_leaves(state.trainable)[0])
+    trainer.ckpt.close()
+
+    trainer2 = _setup(tmp_path, max_steps=16, eval_steps=4, save_steps=4)
+    # fresh state starts at 0; resume must pick up step 8
+    state2 = trainer2.train(resume_from_checkpoint=True)
+    assert int(jax.device_get(state2.step)) == 16
+    trainer2.ckpt.close()
+
+
+def test_best_eval_gating(tmp_path):
+    cm = CheckpointManager(str(tmp_path / "ck"), best_only=True, async_save=False)
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    tx = opt.make_optimizer()
+    state, _ = ts.init_train_state(
+        jax.random.key(1), params, None, tx, opt.default_trainable_pred(ft_full=True)
+    )
+    assert cm.save(state, eval_loss=1.0) is True      # first eval -> best
+    state = dataclasses.replace(state, step=state.step + 1)
+    assert cm.save(state, eval_loss=2.0) is False     # worse -> gated
+    state = dataclasses.replace(state, step=state.step + 1)
+    assert cm.save(state, eval_loss=0.5) is True      # better -> saved
+    assert cm.save(state, force=True) is True          # final save always
+    cm.wait()
+    cm.close()
+
+
+def test_adalora_training_updates_masks(tmp_path):
+    trainer = _setup(
+        tmp_path,
+        use_adalora=True,
+        max_steps=10,
+        eval_steps=100,
+        save_steps=100,
+        orth_reg_weight=0.5,
+        adalora={"init_r": 4, "target_r": 1, "tinit": 2, "tfinal": 2,
+                 "deltaT": 2, "total_steps": 10},
+    )
+    state = trainer.train()
+    lora = state.trainable["lora"]
+    mask = np.asarray(
+        lora["encoder"]["layers"]["self_attn"]["q"]["mask"]
+    )
+    # budget at step 10 with total=10, tfinal=2 -> target_r=1: one rank alive
+    assert mask.sum(axis=1).max() <= 2
+    assert mask.sum() < mask.size  # some ranks pruned
+    trainer.ckpt.close()
+
+
+def test_adalora_budget_schedule():
+    assert adalora_budget(0, 12, 4, 200, 1000, 10000) == 12
+    assert adalora_budget(199, 12, 4, 200, 1000, 10000) == 12
+    assert adalora_budget(9000, 12, 4, 200, 1000, 10000) == 4
+    mid = adalora_budget(4600, 12, 4, 200, 1000, 10000)
+    assert 4 <= mid <= 12
+    # monotone non-increasing
+    vals = [adalora_budget(s, 12, 4, 200, 1000, 10000) for s in range(0, 10000, 500)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_trainer_with_real_loader(tmp_path, tiny_corpus, tiny_tok):
+    """Trainer wired to the actual EEGDataset/DataLoader stack."""
+    from neuspeech1_tpu.config import tiny_config
+
+    root, _ = tiny_corpus
+    cfg = tiny_config(max_source_positions=32, dtype="float32")
+    stem = StemConfig("base", in_channels=8)
+    ds = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="train", modal_ch=8,
+                    max_duration=32 * 4 / 200)
+    col = Collator(pad_id=tiny_tok.pad_id, decoder_start_id=cfg.sot_id,
+                   max_label_len=32)
+    dl = DataLoader(ds, col, batch_size=4, prefetch=0)
+    params = init_params(jax.random.key(0), cfg, stem)
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=2, total_steps=50)
+    state, frozen = ts.init_train_state(
+        jax.random.key(1), params, None, tx,
+        opt.default_trainable_pred(ft_full=True),
+    )
+    trainer = Trainer(cfg, stem, tx, state, frozen, train_loader=dl,
+                      output_dir=str(tmp_path / "o"), max_steps=4,
+                      logging_steps=2, save_steps=100)
+    state = trainer.train()
+    assert int(jax.device_get(state.step)) == 4
+    trainer.ckpt.close()
