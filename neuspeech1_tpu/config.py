@@ -79,6 +79,7 @@ class WhisperConfig:
     dtype: str = "bfloat16"        # activation/compute dtype on TPU
     param_dtype: str = "float32"   # master parameter dtype
     remat: bool = False            # jax.checkpoint each transformer layer
+    flash_attention: str = "auto"  # 'auto'|'on'|'off' — Pallas flash kernel
 
     @property
     def timestamp_begin(self) -> int:

@@ -23,6 +23,7 @@ gives clean tensor-parallel PartitionSpecs (see `parallel/sharding.py`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -34,6 +35,24 @@ from neuspeech1_tpu.config import StemConfig, WhisperConfig
 from neuspeech1_tpu.models.lora import lora_delta
 
 Params = Dict[str, Any]
+
+
+def resolve_flash(config: WhisperConfig, t_kv: int) -> bool:
+    """Static decision: Pallas flash attention on TPU when enabled in the
+    config and the K/V tiles fit the kernel's VMEM envelope.
+
+    'auto' = on for TPU backends, off on CPU (tests run the XLA path there;
+    kernel-level parity is covered in interpret mode separately).
+    """
+    mode = config.flash_attention
+    if mode == "off":
+        return False
+    from neuspeech1_tpu.ops.flash_attention import flash_available, on_tpu
+
+    ok = flash_available(t_kv, config.d_model // config.encoder_heads)
+    if mode == "on":
+        return ok
+    return ok and on_tpu()
 
 
 # --------------------------------------------------------------------------
@@ -81,8 +100,19 @@ def _merge_heads(x):
 def attention(
     q, k, v, mask=None, *,
     logits_dtype=jnp.float32,
+    use_flash: bool = False,
+    causal: bool = False,
 ):
-    """Plain SDPA on [B, H, T, Dh] tensors; softmax in fp32 for stability."""
+    """SDPA on [B, H, T, Dh] tensors; softmax in fp32 for stability.
+
+    With `use_flash` (and no explicit mask, or a plain causal pattern) the
+    Pallas flash kernel runs instead — no [B, H, T, T] HBM intermediates
+    (see `ops/flash_attention.py`).
+    """
+    if use_flash:
+        from neuspeech1_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(logits_dtype)
     scores = scores * (dh ** -0.5)
@@ -101,6 +131,8 @@ def mha(
     lora: Optional[Params] = None,
     cache: Optional[Params] = None,
     cache_index=None,
+    use_flash: bool = False,
+    causal: bool = False,
 ):
     """Multi-head attention with optional cross-attention and KV cache.
 
@@ -126,7 +158,7 @@ def mha(
             new_cache = {"k": k, "v": v}
         else:
             new_cache = None
-    out = attention(q, k, v, mask=mask)
+    out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
@@ -172,11 +204,11 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
 # encoder
 # --------------------------------------------------------------------------
 
-def _encoder_layer(h, layer_p, n_heads, lora=None):
+def _encoder_layer(h, layer_p, n_heads, lora=None, use_flash=False):
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
     x, _ = mha(x, layer_p["self_attn"], n_heads,
-               lora=(lora or {}).get("self_attn"))
+               lora=(lora or {}).get("self_attn"), use_flash=use_flash)
     h = res + x
     res = h
     x = layer_norm(h, layer_p["final_ln"])
@@ -214,7 +246,8 @@ def encoder_apply(
         h = jnp.where(mask, h / keep, 0.0)
 
     enc_lora = (lora or {}).get("encoder", {}).get("layers")
-    layer_fn = _encoder_layer
+    use_flash = resolve_flash(config, h.shape[1])
+    layer_fn = functools.partial(_encoder_layer, use_flash=use_flash)
     if config.remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
 
@@ -236,20 +269,26 @@ def encoder_apply(
 # --------------------------------------------------------------------------
 
 def _decoder_layer(h, layer_p, enc_out, self_mask, n_heads, lora=None,
-                   self_cache=None, cross_cache=None, cache_index=None):
+                   self_cache=None, cross_cache=None, cache_index=None,
+                   use_flash=False):
     lora = lora or {}
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
+    flash_self = use_flash and self_cache is None
     x, new_self = mha(
-        x, layer_p["self_attn"], n_heads, mask=self_mask,
+        x, layer_p["self_attn"], n_heads,
+        mask=None if flash_self else self_mask,
         lora=lora.get("self_attn"), cache=self_cache, cache_index=cache_index,
+        use_flash=flash_self, causal=True,
     )
     h = res + x
     res = h
     x = layer_norm(h, layer_p["cross_attn_ln"])
+    flash_cross = use_flash and cross_cache is None
     x, new_cross = mha(
         x, layer_p["cross_attn"], n_heads, kv_source=enc_out,
         lora=lora.get("cross_attn"), cache=cross_cache,
+        use_flash=flash_cross,
     )
     h = res + x
     res = h
@@ -294,12 +333,15 @@ def decoder_apply(
 
     dec_lora = (lora or {}).get("decoder", {}).get("layers")
     enc_out = enc_out.astype(dtype)
+    use_flash = cache is None and resolve_flash(config, enc_out.shape[1]) \
+        and resolve_flash(config, t)
 
     if cache is None:
         if dec_lora is None:
             def body(carry, layer_p):
                 out, _ = _decoder_layer(
-                    carry, layer_p, enc_out, self_mask, config.decoder_heads
+                    carry, layer_p, enc_out, self_mask, config.decoder_heads,
+                    use_flash=use_flash,
                 )
                 return out, None
             h, _ = lax.scan(body, h, dec["layers"])
@@ -308,7 +350,7 @@ def decoder_apply(
                 layer_p, layer_l = xs
                 out, _ = _decoder_layer(
                     carry, layer_p, enc_out, self_mask, config.decoder_heads,
-                    lora=layer_l,
+                    lora=layer_l, use_flash=use_flash,
                 )
                 return out, None
             h, _ = lax.scan(body, h, (dec["layers"], dec_lora))

@@ -1,0 +1,290 @@
+"""Pallas TPU flash attention (forward + custom-VJP backward).
+
+Why: XLA's materialized attention writes [B, H, T, T] score/prob tensors to
+HBM — for the whisper-base encoder (T=1500, B=64, H=8) that is ~2.3-4.6 GB
+per layer per pass and dominates step time. This kernel keeps score tiles in
+VMEM (q-block x full-K), writing only O and the logsumexp rows.
+
+Design (v5e: 16 MB VMEM, MXU 128x128):
+  * grid (B*H, Tq/BLOCK_Q) forward; K/V blocks are grid-invariant along the
+    q axis so Pallas keeps them resident in VMEM across q-blocks;
+  * full-K tiles: T<=~4k keeps [BLOCK_Q, T] f32 scores in VMEM (whisper is
+    fixed T=1500 -> padded 1536), so no online-softmax rescaling is needed —
+    a single max/exp/sum per row block;
+  * backward: grid (B*H,), fori_loop over q-blocks with f32 dK/dV
+    accumulators in VMEM scratch, probs recomputed from the saved lse;
+  * non-square Tq x Tkv supported (decoder cross-attention), causal masking
+    supported for Tq == Tkv (decoder self-attention in training).
+
+Numerics: scores/softmax in f32 (matching `models/whisper.py::attention`),
+P cast to the value dtype for the PV matmul, outputs in the input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ----------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_q, t_kv,
+                block_q, causal):
+    qi = pl.program_id(1)
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [Tk_pad, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, Tk_pad]
+
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = kv_idx < t_kv
+    if causal:
+        q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        mask = mask & (kv_idx <= q_idx)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    # lse is stored [.., 8, block_q] (8 replicated sublanes) to satisfy the
+    # TPU (8, 128) min-tile constraint for f32 blocks
+    lse = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _fwd(q, k, v, scale, causal, block_q):
+    bh, t_q, d = q.shape
+    t_kv = k.shape[1]
+    tq_pad = _round_up(t_q, block_q)
+    tk_pad = _round_up(t_kv, 128)
+    q = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+
+    grid = (bh, tq_pad // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, t_q=t_q, t_kv=t_kv,
+            block_q=block_q, causal=causal,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, tq_pad), jnp.float32),
+        ],
+        interpret=not on_tpu(),
+    )(q, k, v)
+    return o[:, :t_q], lse
+
+
+# ----------------------------------------------------------------------
+# backward
+# ----------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                scale, t_q, t_kv, block_q, causal, n_q_blocks):
+    k = k_ref[0]
+    v = v_ref[0]
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def body(qb, _):
+        sl = pl.ds(qb * block_q, block_q)
+        q = q_ref[0, sl]          # [BQ, D]
+        o = o_ref[0, sl]
+        do = do_ref[0, sl]
+        lse = lse_ref[0, 0, sl]   # [BQ] (sublane-replicated storage)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, Tk_pad]
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = kv_idx < t_kv
+        if causal:
+            q_idx = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0
+            )
+            mask = mask & (kv_idx <= q_idx)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])  # [BQ, Tk_pad] f32
+
+        do_f = do.astype(jnp.float32)
+        o_f = o.astype(jnp.float32)
+        # dV += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            p, do_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T ; dS = P * (dP - rowsum(dO*O)) * scale
+        dp = jax.lax.dot_general(
+            do_f, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(do_f * o_f, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale  # [BQ, Tk_pad]
+        # dQ = dS K
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, sl] = dq.astype(dq_ref.dtype)
+        # dK += dS^T Q
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    lax.fori_loop(0, n_q_blocks, body, 0)
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd(scale, causal, block_q, res, g):
+    q, k, v, o, lse = res
+    do = g
+    bh, t_q, d = q.shape
+    t_kv = k.shape[1]
+    tq_pad = _round_up(t_q, block_q)
+    tk_pad = _round_up(t_kv, 128)
+    qp = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    op = jnp.pad(o, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    lsep = lse  # already [bh, 8, tq_pad] from the forward
+
+    n_q_blocks = tq_pad // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, t_q=t_q, t_kv=t_kv, block_q=block_q,
+            causal=causal, n_q_blocks=n_q_blocks,
+        ),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tq_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk_pad, d), jnp.float32),
+            pltpu.VMEM((tk_pad, d), jnp.float32),
+        ],
+        interpret=not on_tpu(),
+    )(qp, kp, vp, op, dop, lsep)
+    return dq[:, :t_q], dk[:, :t_kv], dv[:, :t_kv]
+
+
+# ----------------------------------------------------------------------
+# public API
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bh(q, k, v, scale, causal, block_q):
+    o, _ = _fwd(q, k, v, scale, causal, block_q)
+    return o
+
+
+def _flash_bh_fwd(q, k, v, scale, causal, block_q):
+    o, lse = _fwd(q, k, v, scale, causal, block_q)
+    return o, (q, k, v, o, lse)
+
+
+_flash_bh.defvjp(_flash_bh_fwd, _bwd)
+
+
+def flash_attention(q, k, v, causal: bool = False, block_q: int = 128):
+    """Drop-in for `models/whisper.py::attention` without masks.
+
+    q: [B, H, Tq, D]; k, v: [B, H, Tkv, D]. Returns [B, H, Tq, D] in
+    q.dtype. Softmax statistics in f32. `causal=True` requires Tq == Tkv.
+    """
+    b, h, t_q, d = q.shape
+    t_kv = k.shape[2]
+    if causal and t_q != t_kv:
+        raise ValueError("causal flash attention requires Tq == Tkv")
+    scale = d ** -0.5
+    bq = min(block_q, _round_up(t_q, 8))
+    out = _flash_bh(
+        q.reshape(b * h, t_q, d),
+        k.reshape(b * h, t_kv, d),
+        v.reshape(b * h, t_kv, d),
+        scale, causal, bq,
+    )
+    return out.reshape(b, h, t_q, d)
+
+
+def flash_available(t_kv: int, d: int) -> bool:
+    """Conservative envelope: full-K tiles must fit VMEM."""
+    if d > 256:
+        return False
+    tk_pad = _round_up(t_kv, 128)
+    # k + v + scores + probs for one q-block, f32-ish accounting
+    vmem = tk_pad * d * 2 * 2 + 128 * tk_pad * 8
+    return vmem < 8 * 1024 * 1024
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -1,0 +1,124 @@
+"""Flash attention kernel parity (interpret mode on CPU) + model integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuspeech1_tpu.ops.flash_attention import flash_attention, flash_available
+
+
+def ref_attention(q, k, v, causal=False):
+    dh = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * dh**-0.5
+    if causal:
+        tq, tk = s.shape[-2], s.shape[-1]
+        mask = jnp.tril(jnp.ones((tq, tk), bool))
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _qkv(b=1, h=2, tq=40, tkv=40, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, tkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, tkv, d)).astype(np.float32))
+    return q, k, v
+
+
+def test_forward_parity_unpadded():
+    q, k, v = _qkv(tq=128, tkv=128)
+    out = flash_attention(q, k, v)
+    ref = ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_forward_parity_with_padding():
+    """Tq/Tkv not multiples of the block — exercises the masked pad path
+    (whisper's T=1500 is exactly this case)."""
+    q, k, v = _qkv(tq=40, tkv=75)
+    out = flash_attention(q, k, v)
+    ref = ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_forward_causal():
+    q, k, v = _qkv(tq=48, tkv=48)
+    out = flash_attention(q, k, v, causal=True)
+    ref = ref_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_cross_shape():
+    q, k, v = _qkv(tq=16, tkv=100)
+    out = flash_attention(q, k, v)
+    assert out.shape == q.shape
+
+
+def test_backward_parity():
+    q, k, v = _qkv(tq=40, tkv=60, d=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attention(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_backward_parity_causal():
+    q, k, v = _qkv(tq=32, tkv=32, d=16, seed=3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attention(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_available_envelope():
+    assert flash_available(1500, 64)       # whisper-base encoder
+    assert not flash_available(100_000, 64)  # would blow VMEM
+
+
+def test_model_forward_flash_vs_xla():
+    """Full model: flash 'on' must match the XLA attention path."""
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    from tests.test_train import make_batch, mini_cfg
+
+    import dataclasses
+
+    cfg_off = mini_cfg(flash_attention="off")
+    cfg_on = mini_cfg(flash_attention="on")
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg_off, stem)
+    batch = make_batch(cfg_off, stem, b=2)
+    ref = jw.forward(params, batch["input_features"],
+                     batch["decoder_input_ids"], cfg_off, stem)
+    out = jw.forward(params, batch["input_features"],
+                     batch["decoder_input_ids"], cfg_on, stem)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
