@@ -30,6 +30,10 @@ class StemConfig:
                   this maps 6000 -> 1500.
       'replace' — reference `utils/model_utils.py:18-20`: single
                   Conv(ch->d,k3,s2,p1).
+      'premel'  — reference `utils/load_model.py:1408-1521`
+                  (MyWhisperForConditionalGeneration): Conv(ch->80,k5,s2,p2) +
+                  channel dropout feeding the ORIGINAL whisper conv1; lets the
+                  pretrained mel stem stay frozen.
     """
 
     kind: str = "base"
@@ -37,7 +41,7 @@ class StemConfig:
     dropout: float = 0.0
 
     def __post_init__(self):
-        if self.kind not in ("speech", "base", "replace"):
+        if self.kind not in ("speech", "base", "replace", "premel"):
             raise ValueError(f"unknown stem kind: {self.kind!r}")
 
 
@@ -79,6 +83,7 @@ class WhisperConfig:
     dtype: str = "bfloat16"        # activation/compute dtype on TPU
     param_dtype: str = "float32"   # master parameter dtype
     remat: bool = False            # jax.checkpoint each transformer layer
+    remat_policy: str = "full"     # 'full' | 'dots' (dots_saveable policy)
     flash_attention: str = "auto"  # 'auto'|'on'|'off' — Pallas flash kernel
 
     @property

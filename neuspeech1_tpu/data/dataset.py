@@ -230,6 +230,34 @@ class EEGDataset:
         """Gold transcript text for metric computation."""
         return self.rows[idx].get("sentence", "")
 
+    # -- native fast path ---------------------------------------------
+    def supports_native_signals(self) -> bool:
+        """The C++ batch loader handles slice/pad but not augmentation;
+        usable whenever per-item signal transforms are off."""
+        return not (
+            self.mode == "train"
+            and (self.augment_config or self.combine_sentences
+                 or self.split_sentences)
+        )
+
+    def signal_path(self, idx: int) -> str:
+        return self.rows[idx]["eeg"]["path"]
+
+    def get_labels(self, idx: int):
+        """Labels only (no signal IO) — pairs with the native signal path."""
+        row = self.rows[idx]
+        transcript = row.get("sentences") or []
+        language = row.get("language") or self.language
+        if transcript:
+            if self.timestamps:
+                return self.tokenizer.build_timestamp_labels(
+                    transcript, language=language, level=self.level
+                )
+            text = " ".join(t["text"] for t in transcript)
+            return self.tokenizer.build_labels(text, language=language)
+        c = self.tokenizer.config
+        return [c.sot_id, c.nocaptions_id, c.eot_id]
+
 
 class SpeechDataset:
     """Audio-modality dataset: wav -> log-mel [80, 3000] + labels.

@@ -36,6 +36,7 @@ class DataLoader:
         sharding=None,
         process_index: int = 0,
         process_count: int = 1,
+        native_signals: bool = False,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -50,6 +51,16 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        self._native = None
+        if native_signals:
+            if not getattr(dataset, "supports_native_signals", lambda: False)():
+                raise ValueError(
+                    "dataset configuration not compatible with the native "
+                    "signal loader (train-time augmentation active)"
+                )
+            from neuspeech1_tpu.data.native_loader import NativeClipLoader
+
+            self._native = NativeClipLoader(num_threads=self.num_threads)
         if process_count > 1 and batch_size % process_count != 0:
             raise ValueError("global batch_size must divide evenly across hosts")
 
@@ -79,7 +90,20 @@ class DataLoader:
         return batches
 
     def _load_batch(self, index_list) -> dict:
-        samples = [self.dataset[int(i)] for i in index_list]
+        if self._native is not None:
+            ds = self.dataset
+            paths = [ds.signal_path(int(i)) for i in index_list]
+            signals = self._native.load_batch(
+                paths, ds.modal_ch, ds.n_samples,
+                channel_slice=ds.channel_slice,
+            )
+            samples = [
+                {"input_features": signals[j],
+                 "labels": ds.get_labels(int(i))}
+                for j, i in enumerate(index_list)
+            ]
+        else:
+            samples = [self.dataset[int(i)] for i in index_list]
         batch = self.collator(samples)
         batch["_indices"] = np.asarray(index_list)
         if self.device_put:

@@ -43,12 +43,21 @@ class GenerationConfig:
     min_new_tokens: int = 0
     eos_id: int = 50257
     pad_id: int = 50257
+    # timestamp decoding (whisper grammar; decode/timestamps.py)
+    timestamps: bool = False
+    timestamp_begin: int = 50364
+    notimestamps_id: int = 50363
+    eot_id: int = 50257
+    max_initial_timestamp_index: int = 50
 
     @staticmethod
     def for_model(config: WhisperConfig, **kw) -> "GenerationConfig":
         kw.setdefault("eos_id", config.eot_id)
         kw.setdefault("pad_id", config.eot_id)
+        kw.setdefault("eot_id", config.eot_id)
         kw.setdefault("max_length", config.max_target_positions)
+        kw.setdefault("timestamp_begin", config.timestamp_begin)
+        kw.setdefault("notimestamps_id", config.notimestamps_id)
         # whisper always bans eot at the first free slot unless minting
         # nocaptions; keep HF default empty here — callers opt in.
         return GenerationConfig(**kw)
@@ -77,6 +86,13 @@ def _process_logits(logits, tokens, cur_len, gen: GenerationConfig,
     logits = lp.repetition_penalty(logits, tokens, cur_len, gen.repetition_penalty)
     logits = lp.no_repeat_ngram(logits, tokens, cur_len, gen.no_repeat_ngram_size)
     logits = lp.sequence_bias(logits, tokens, cur_len, bias_spec)
+    if gen.timestamps:
+        from neuspeech1_tpu.decode.timestamps import timestamp_rules
+
+        logits = timestamp_rules(
+            logits, tokens, cur_len, gen, prompt_len,
+            gen.max_initial_timestamp_index,
+        )
     return logits
 
 

@@ -79,6 +79,12 @@ def _stem_from_sd(sd, stem: StemConfig) -> Params:
         }
     if stem.kind == "replace":
         return {"conv": _conv(sd, "model.encoder.conv1")}
+    if stem.kind == "premel":
+        # MyWhisper's pre_conv1 (utils/load_model.py:1416) + original conv1
+        return {
+            "pre_conv": _conv(sd, "pre_conv1"),
+            "conv1": _conv(sd, "model.encoder.conv1"),
+        }
     raise ValueError(stem.kind)
 
 
@@ -143,6 +149,11 @@ def params_to_hf_state_dict(
         put("model.encoder.conv1.0.bias", sp["conv_a"]["b"])
         put("model.encoder.conv1.2.weight", sp["conv_b"]["w"])
         put("model.encoder.conv1.2.bias", sp["conv_b"]["b"])
+    elif stem.kind == "premel":
+        put("pre_conv1.weight", sp["pre_conv"]["w"])
+        put("pre_conv1.bias", sp["pre_conv"]["b"])
+        put("model.encoder.conv1.weight", sp["conv1"]["w"])
+        put("model.encoder.conv1.bias", sp["conv1"]["b"])
     else:
         put("model.encoder.conv1.weight", sp["conv"]["w"])
         put("model.encoder.conv1.bias", sp["conv"]["b"])

@@ -73,6 +73,12 @@ def init_stem(key, config: WhisperConfig, stem: StemConfig, dtype=jnp.float32):
         }
     if stem.kind == "replace":
         return {"conv": _conv(key, d, stem.in_channels, 3, dtype)}
+    if stem.kind == "premel":
+        ka, kb = jax.random.split(key)
+        return {
+            "pre_conv": _conv(ka, config.num_mel_bins, stem.in_channels, 5, dtype),
+            "conv1": _conv(kb, d, config.num_mel_bins, 3, dtype),
+        }
     raise ValueError(stem.kind)
 
 

@@ -194,6 +194,14 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
         h = jax.nn.gelu(h, approximate=False)
     elif stem.kind == "replace":
         h = jax.nn.gelu(conv1d(x, sp["conv"], stride=2), approximate=False)
+    elif stem.kind == "premel":
+        # pre_conv1: ch -> num_mel_bins at stride 2, then whisper's own conv1
+        h = conv1d(x, sp["pre_conv"], stride=2, padding=2)
+        if stem.dropout > 0:
+            # channel dropout is applied by the caller via dropout_rng; the
+            # deterministic path is the identity (eval mode)
+            pass
+        h = jax.nn.gelu(conv1d(h, sp["conv1"], stride=1), approximate=False)
     else:
         raise ValueError(stem.kind)
     h = jax.nn.gelu(conv1d(h, params["conv2"], stride=2), approximate=False)
@@ -249,7 +257,9 @@ def encoder_apply(
     use_flash = resolve_flash(config, h.shape[1])
     layer_fn = functools.partial(_encoder_layer, use_flash=use_flash)
     if config.remat:
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if config.remat_policy == "dots" else None)
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=policy)
 
     if enc_lora is None:
         def body(carry, layer_p):

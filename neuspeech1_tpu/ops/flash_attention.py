@@ -252,12 +252,20 @@ def _flash_bh_fwd(q, k, v, scale, causal, block_q):
 _flash_bh.defvjp(_flash_bh_fwd, _bwd)
 
 
-def flash_attention(q, k, v, causal: bool = False, block_q: int = 128):
+import os
+
+DEFAULT_BLOCK_Q = int(os.environ.get("NEUSPEECH_FLASH_BLOCK_Q", "128"))
+
+
+def flash_attention(q, k, v, causal: bool = False,
+                    block_q: Optional[int] = None):
     """Drop-in for `models/whisper.py::attention` without masks.
 
     q: [B, H, Tq, D]; k, v: [B, H, Tkv, D]. Returns [B, H, Tq, D] in
     q.dtype. Softmax statistics in f32. `causal=True` requires Tq == Tkv.
     """
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q
     b, h, t_q, d = q.shape
     t_kv = k.shape[2]
     if causal and t_q != t_kv:
