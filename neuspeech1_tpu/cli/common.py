@@ -133,6 +133,15 @@ def parse_config_overrides(args) -> WhisperConfig:
     else:
         layout = {}
     kw = dict(layout)
+    size = getattr(args, "model_size", None)
+    if size:
+        from neuspeech1_tpu.config import WHISPER_PRESETS
+
+        preset = dict(WHISPER_PRESETS[size])
+        # layout wins over preset vocab for byte-tokenizer runs
+        for k, v in preset.items():
+            if k not in kw:
+                kw[k] = v
     for name in ("d_model", "encoder_layers", "decoder_layers", "encoder_heads",
                  "decoder_heads", "encoder_ffn", "decoder_ffn",
                  "max_source_positions", "max_target_positions"):

@@ -27,6 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("base_model", str, None, "base model (npz/HF dir/'random')")
     add_arg("lora_model", str, None, "adapter npz to apply+merge")
     add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("model_size", str, None, "whisper preset: tiny|base|small|medium|large")
     add_arg("stem_kind", str, "base", "projection stem kind")
     add_arg("eeg_ch", int, 208, "signal channels")
     add_arg("channel_slice", str, None, "named channel preset")
@@ -46,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("train_data", str, None, "train jsonl (for --sequence_bias)")
     add_arg("bias_weight", float, -1.0, "sequence bias value")
     add_arg("post_processing", bool, False, "ascii+lowercase post-processing")
+    add_arg("per_sentence", bool, False, "also write per-sentence metric rows")
     add_arg("bertscore_model", str, None, "local encoder dir for BERTScore")
     add_arg("perplexity_model", str, None, "local causal-LM dir for ppl")
     add_arg("output_dir", str, "eval_output/", "results directory")
@@ -187,6 +189,17 @@ def main(argv=None):
         tag += "_random"
     out_prefix = os.path.join(args.output_dir, f"{base}_{tag}")
     files = write_results(out_prefix, preds, refs, metrics)
+    if args.per_sentence:  # reference metrics/each_sentence_metrics.py
+        import json as _json
+
+        from neuspeech1_tpu.metrics.battery import per_sentence_metrics
+
+        rows = per_sentence_metrics(preds, refs)
+        ps_path = out_prefix + "_per_sentence.jsonl"
+        with open(ps_path, "w", encoding="utf-8") as f:
+            for pred, ref, row in zip(preds, refs, rows):
+                f.write(_json.dumps({"pred": pred, "label": ref, **row}) + "\n")
+        files["per_sentence"] = ps_path
     print({k: round(float(v), 4) for k, v in metrics.items()})
     print(f"[evaluation] wrote {files}")
     return metrics

@@ -23,6 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("model_path", str, None, "full model dir (config.json+params.npz)")
     add_arg("base_model", str, "random", "base params (npz/HF dir/'random')")
     add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("model_size", str, None, "whisper preset: tiny|base|small|medium|large")
     add_arg("language", str, "English", "decode language")
     add_arg("batch_size", int, 8, "decode batch size")
     add_arg("num_beams", int, 5, "beam width")

@@ -49,6 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     # model
     add_arg("base_model", str, "random", "npz / HF dir / 'random'")
     add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("model_size", str, None, "whisper preset: tiny|base|small|medium|large")
     add_arg("stem_kind", str, "base", "projection stem: base|replace|speech")
     add_arg("modal", str, "eeg", "eeg or speech")
     add_arg("d_model", int, None, "override d_model")
@@ -72,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("adalora_deltaT", int, 10, "AdaLoRA reallocation interval")
     add_arg("orth_reg_weight", float, 0.5, "AdaLoRA orthogonal reg weight")
     add_arg("ft_full", bool, False, "full fine-tune (no adapters)")
-    add_arg("fine_tune_layers", int, None, "unused placeholder (parity)")
+    add_arg("fine_tune_layers", int, None, "adapt only the last N encoder layers")
     add_arg("lora_model", str, None, "pretrained adapter npz to merge first")
     add_arg("lora_eeg_ch", int, None, "channel count of --lora_model's stem")
     # training (reference finetune.py:231-253)
@@ -123,7 +124,10 @@ def main(argv=None):
     from neuspeech1_tpu.train.trainer import Trainer
 
     config = common.parse_config_overrides(args)
-    stem = StemConfig(args.stem_kind, in_channels=args.eeg_ch)
+    if args.modal == "speech":
+        stem = StemConfig("speech")
+    else:
+        stem = StemConfig(args.stem_kind, in_channels=args.eeg_ch)
     tokenizer = common.resolve_tokenizer(args.tokenizer, config)
     config = tokenizer.config
 
@@ -134,6 +138,11 @@ def main(argv=None):
 
     # ---- datasets / loaders -----------------------------------------
     def make_ds(path, mode):
+        if args.modal == "speech":
+            from neuspeech1_tpu.data.dataset import SpeechDataset
+
+            return SpeechDataset(path, tokenizer, language=args.language,
+                                 n_mels=config.num_mel_bins, mode=mode)
         return EEGDataset(
             path, tokenizer, mode=mode, modal_ch=args.eeg_ch,
             channel_slice=args.channel_slice, language=args.language,
@@ -189,11 +198,18 @@ def main(argv=None):
     lora = None
     adalora_cfg = None
     if not args.ft_full:
+        layer_range = None
+        if args.fine_tune_layers is not None:
+            layer_range = (
+                max(config.encoder_layers - args.fine_tune_layers, 0),
+                config.encoder_layers,
+            )
         if args.use_adalora:
             rank = args.lora_rank or 12
             alpha = args.lora_alpha or 32.0
             lora = init_lora(jax.random.key(args.seed + 2), config, rank=rank,
-                             alpha=alpha, adalora=True)
+                             alpha=alpha, adalora=True,
+                             layer_range=layer_range)
             adalora_cfg = {
                 "init_r": rank, "target_r": args.adalora_target_r,
                 "tinit": args.adalora_tinit, "tfinal": args.adalora_tfinal,
@@ -203,7 +219,8 @@ def main(argv=None):
         else:
             lora = init_lora(jax.random.key(args.seed + 2), config,
                              rank=args.lora_rank or 32,
-                             alpha=args.lora_alpha or 64.0)
+                             alpha=args.lora_alpha or 64.0,
+                             layer_range=layer_range)
 
     params = shard_params(mesh, params)
     if lora is not None:

@@ -21,6 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("lora_model", str, None, "adapter npz produced by finetune")
     add_arg("base_model", str, "random", "base params (npz/HF dir/'random')")
     add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
+    add_arg("model_size", str, None, "whisper preset: tiny|base|small|medium|large")
     add_arg("stem_kind", str, "base", "projection stem kind")
     add_arg("eeg_ch", int, 208, "signal channels of the stem")
     add_arg("output_dir", str, None, "output dir (default <lora>/full_model)")

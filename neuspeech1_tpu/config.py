@@ -132,6 +132,37 @@ class WhisperConfig:
         )
 
 
+# Whisper family geometries (multilingual; vocab/special tokens shared).
+# The reference pins whisper-base (`finetune.py:127`) but loads any size via
+# from_pretrained; these presets cover the family.
+WHISPER_PRESETS = {
+    "tiny":   dict(d_model=384,  encoder_layers=4,  decoder_layers=4,
+                   encoder_heads=6,  decoder_heads=6,
+                   encoder_ffn=1536, decoder_ffn=1536),
+    "base":   dict(d_model=512,  encoder_layers=6,  decoder_layers=6,
+                   encoder_heads=8,  decoder_heads=8,
+                   encoder_ffn=2048, decoder_ffn=2048),
+    "small":  dict(d_model=768,  encoder_layers=12, decoder_layers=12,
+                   encoder_heads=12, decoder_heads=12,
+                   encoder_ffn=3072, decoder_ffn=3072),
+    "medium": dict(d_model=1024, encoder_layers=24, decoder_layers=24,
+                   encoder_heads=16, decoder_heads=16,
+                   encoder_ffn=4096, decoder_ffn=4096),
+    "large":  dict(d_model=1280, encoder_layers=32, decoder_layers=32,
+                   encoder_heads=20, decoder_heads=20,
+                   encoder_ffn=5120, decoder_ffn=5120, vocab_size=51866,
+                   # large-v3: 128 mel bins and an extra <|yue|> language
+                   num_mel_bins=128, num_languages=100),
+}
+
+
+def preset_config(name: str, **overrides) -> WhisperConfig:
+    """WhisperConfig for a named family member ('tiny'...'large')."""
+    kw = dict(WHISPER_PRESETS[name])
+    kw.update(overrides)
+    return WhisperConfig(**kw)
+
+
 def tiny_config(n_text: int = 256, **overrides) -> WhisperConfig:
     """A small config for CPU tests: 2+2 layers, d=64."""
     layout = WhisperConfig.layout_for_vocab(n_text)

@@ -311,6 +311,47 @@ def read_tsv_auditory(
     return [r for r in result if "offset" in r]
 
 
+def read_tsv_visual(tsv_path: str, stimuli: Dict[str, str]) -> List[dict]:
+    """Visual-stimuli variant: word-by-word visual presentation blocks
+    (reference `schoffelen_process.py:216-310`, largely commented out of the
+    reference's main; implemented here for capability completeness).
+
+    Emits one event per visual sentence: onset of the first word,
+    offset of the last word/blank in the block.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(tsv_path, delimiter="\t")
+    result: List[dict] = []
+    prev_type = None
+    current: Optional[dict] = None
+    for _, row in df.iterrows():
+        val = str(row["value"])
+        typ = str(row["type"])
+        if val == "ZINNEN":
+            prev_type = "ZINNEN"
+        elif val == "WOORDEN":
+            prev_type = "WOORDEN"
+        if typ == "Picture" and val.isdigit():
+            # stimulus id picture starts a sentence block
+            sid = str(int(val))
+            if current is not None:
+                result.append(current)
+            current = {
+                "text": stimuli.get(sid, ""),
+                "onset": int(row["sample"]),
+                "offset": int(row["sample"]),
+                "type": prev_type or "unknown",
+                "stimuli_type": "visual",
+                "sentence_id": sid,
+            }
+        elif current is not None and typ in ("Word", "Blank", "Picture"):
+            current["offset"] = int(row["sample"])
+    if current is not None:
+        result.append(current)
+    return [r for r in result if r["offset"] > r["onset"]]
+
+
 def process_schoffelen_events(
     tsv_path: str,
     out_dir: str,

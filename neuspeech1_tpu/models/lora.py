@@ -65,12 +65,18 @@ def init_lora(
     parts: Sequence[str] = ("encoder",),
     adalora: bool = False,
     dtype=jnp.float32,
+    layer_range: Optional[Tuple[int, int]] = None,
 ) -> Params:
     """Build the adapter tree. A ~ N(0, 1/r) (kaiming-ish), B = 0, so the
     model starts exactly at the base weights (PEFT convention).
 
     Reference configs: LoRA r=32 α=64 (`finetune.py:210-211`); AdaLoRA
     init_r=12 (`finetune.py:205-208`) — pass rank=12 with adalora=True.
+
+    `layer_range=(lo, hi)` restricts adaptation to layers lo..hi-1 by zeroing
+    alpha elsewhere (the reference's `fine_tune_layers` selects the last N
+    encoder layers via module-name matching, `finetune.py:189-198` /
+    `utils/load_model.py:48-100`; alpha-masking keeps shapes static).
     """
     tree: Params = {}
     for part in parts:
@@ -80,10 +86,16 @@ def init_lora(
         for name in targets:
             d_in, d_out = _entry_shapes(config.d_model, ffn, name)
             key, k1 = jax.random.split(key)
+            alpha_col = np.full((n_layers, 1, 1), alpha, dtype=np.float32)
+            if layer_range is not None:
+                lo, hi = layer_range
+                mask = np.zeros((n_layers, 1, 1), np.float32)
+                mask[lo:hi] = 1.0
+                alpha_col = alpha_col * mask
             entry = {
                 "A": jax.random.normal(k1, (n_layers, d_in, rank), dtype) / np.sqrt(rank),
                 "B": jnp.zeros((n_layers, rank, d_out), dtype),
-                "alpha": jnp.full((n_layers, 1, 1), alpha, dtype),
+                "alpha": jnp.asarray(alpha_col, dtype),
             }
             if adalora:
                 entry["E"] = jnp.zeros((n_layers, rank, 1), dtype)
