@@ -62,9 +62,10 @@ def main():
         ),
     }
 
-    # compile + warmup. NOTE: block on the full state, not just the loss —
-    # on this runtime output buffers can become ready before the whole step
-    # finishes, which silently breaks the timing.
+    # compile + warmup. NOTE: on this runtime, timing is only trustworthy
+    # when each step is individually blocked on its full output state —
+    # batched dispatch + a single final block has been observed to return
+    # early. Median of per-step wall times.
     def block(state):
         jax.block_until_ready(jax.tree_util.tree_leaves(state.trainable))
 
@@ -73,14 +74,15 @@ def main():
     state, m = step(state, frozen, batch)
     block(state)
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
         state, m = step(state, frozen, batch)
-    block(state)
-    dt = time.perf_counter() - t0
+        block(state)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
-    samples_per_sec = batch_size * n_steps / dt
+    samples_per_sec = batch_size / dt
     print(
         json.dumps(
             {

@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("max_grad_norm", float, 1.0, "gradient clipping")
     add_arg("label_max_length", int, 128, "static label pad length")
     # mesh
+    add_arg("coordinator", str, None,
+            "multi-host coordinator address host:port (jax.distributed)")
     add_arg("mesh_data", int, -1, "data-parallel mesh axis (-1 = all)")
     add_arg("mesh_fsdp", int, 1, "fsdp mesh axis")
     add_arg("mesh_tensor", int, 1, "tensor-parallel mesh axis")
@@ -117,12 +119,15 @@ def main(argv=None):
     from neuspeech1_tpu.data.loader import DataLoader
     from neuspeech1_tpu.models.lora import init_lora, merge_lora
     from neuspeech1_tpu.models.init import init_stem
-    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.mesh import (
+        batch_sharding, initialize_distributed, make_mesh,
+    )
     from neuspeech1_tpu.parallel.sharding import shard_params
     from neuspeech1_tpu.train import optimizer as opt
     from neuspeech1_tpu.train import trainstep as ts
     from neuspeech1_tpu.train.trainer import Trainer
 
+    initialize_distributed(args.coordinator)
     config = common.parse_config_overrides(args)
     if args.modal == "speech":
         stem = StemConfig("speech")

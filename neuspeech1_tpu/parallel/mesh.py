@@ -30,10 +30,9 @@ def make_mesh(
     if data == -1:
         assert n % (fsdp * tensor) == 0, f"{n} devices not divisible by {fsdp * tensor}"
         data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
-    )
-    arr = np.array(devices).reshape(data, fsdp, tensor)
+    want = data * fsdp * tensor
+    assert want <= n, f"mesh {data}x{fsdp}x{tensor} needs {want} > {n} devices"
+    arr = np.array(devices[:want]).reshape(data, fsdp, tensor)
     return Mesh(arr, AXES)
 
 

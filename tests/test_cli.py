@@ -1,0 +1,104 @@
+"""CLI end-to-end: finetune -> merge -> evaluation on a synthetic corpus."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GEO_CORE = [
+    "--d_model=32", "--encoder_layers=1", "--decoder_layers=1",
+    "--encoder_heads=2", "--decoder_heads=2", "--encoder_ffn=64",
+    "--decoder_ffn=64", "--max_source_positions=32",
+    "--max_target_positions=40",
+]
+GEO = GEO_CORE + ["--bf16=False", "--remat=False", "--mesh_data=1"]
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    from neuspeech1_tpu.cli.finetune import main as finetune
+    from neuspeech1_tpu.data.synthetic import make_synthetic_corpus
+
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "corpus")
+    make_synthetic_corpus(corpus, n_clips=10, n_channels=4, seed=5,
+                          max_dur=0.6, min_dur=0.5)
+    out = str(root / "run")
+    finetune([
+        f"--train_data={corpus}/train.jsonl",
+        f"--val_data={corpus}/val.jsonl",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=4",
+        "--max_audio_len=0.64", "--min_audio_len=0.5",
+        "--max_steps=6", "--per_device_train_batch_size=4", "--ft_full=True",
+        "--learning_rate=0.001", "--warmup_steps=2", "--eval_steps=3",
+        "--save_steps=3", "--logging_steps=3", "--label_max_length=40",
+        f"--output_dir={out}", *GEO,
+    ])
+    return corpus, out
+
+
+def test_finetune_outputs(cli_run):
+    corpus, out = cli_run
+    assert os.path.exists(f"{out}/adapter_final.npz")
+    log = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+    assert any("eval_loss" in r for r in log)
+    assert any("loss" in r for r in log)
+
+
+def test_merge_and_evaluate(cli_run):
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+    from neuspeech1_tpu.cli.merge_lora import main as merge
+
+    corpus, out = cli_run
+    full = merge([
+        f"--lora_model={out}/adapter_final.npz",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE,
+    ])
+    assert os.path.exists(os.path.join(full, "params.npz"))
+    metrics = evaluate([
+        f"--test_data={corpus}/test.jsonl", f"--model_path={full}",
+        "--tokenizer=byte", "--eeg_ch=4", "--batch_size=2", "--num_beams=1",
+        "--max_new_tokens=8", "--per_sentence=True",
+        f"--output_dir={out}/eval",
+    ])
+    assert 0 <= metrics["wer"]
+    files = os.listdir(f"{out}/eval")
+    assert any(f.endswith("_per_sentence.jsonl") for f in files)
+    assert any(f.endswith(".json") for f in files)
+
+
+def test_resume_from_checkpoint(cli_run):
+    from neuspeech1_tpu.cli.finetune import main as finetune
+
+    corpus, out = cli_run
+    state = finetune([
+        f"--train_data={corpus}/train.jsonl",
+        f"--val_data={corpus}/val.jsonl",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=4",
+        "--max_audio_len=0.64", "--min_audio_len=0.5",
+        "--max_steps=8", "--per_device_train_batch_size=4", "--ft_full=True",
+        "--eval_steps=3", "--save_steps=3", "--logging_steps=4",
+        "--label_max_length=40", "--resume_from_checkpoint=True",
+        f"--output_dir={out}", *GEO,
+    ])
+    import jax
+
+    assert int(jax.device_get(state.step)) == 8
+
+
+def test_manifest_tools_cli(tmp_path, tiny_corpus):
+    from neuspeech1_tpu.cli.manifest_tools import main as mtool
+
+    root, _ = tiny_corpus
+    out = str(tmp_path / "combined.jsonl")
+    mtool(["combine", f"{root}/train.jsonl", f"{root}/val.jsonl",
+           "-o", out, "--seed", "1"])
+    assert os.path.exists(out)
+    out2 = str(tmp_path / "lang.jsonl")
+    mtool(["add-language", out, "--language", "Dutch", "-o", out2])
+    from neuspeech1_tpu.data.manifest import read_jsonlines
+
+    assert all(r["language"] == "Dutch" for r in read_jsonlines(out2))
+    mtool(["split", out2, "-o", str(tmp_path / "sp"), "--seed", "2"])
+    assert os.path.exists(str(tmp_path / "sp" / "train.jsonl"))
