@@ -62,23 +62,25 @@ def main():
         ),
     }
 
-    # compile + warmup. NOTE: on this runtime, timing is only trustworthy
-    # when each step is individually blocked on its full output state —
-    # batched dispatch + a single final block has been observed to return
-    # early. Median of per-step wall times.
-    def block(state):
-        jax.block_until_ready(jax.tree_util.tree_leaves(state.trainable))
+    # compile + warmup. NOTE: on this runtime jax.block_until_ready has been
+    # observed to return before execution completes; the only reliable
+    # synchronization is an actual device->host transfer, so each timed step
+    # fetches its scalar loss. Median of per-step wall times.
+    import numpy as _np
+
+    def sync(m):
+        return float(jax.device_get(m["loss"]))
 
     state, m = step(state, frozen, batch)
-    block(state)
+    sync(m)
     state, m = step(state, frozen, batch)
-    block(state)
+    sync(m)
 
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
         state, m = step(state, frozen, batch)
-        block(state)
+        sync(m)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
 

@@ -16,8 +16,6 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
-
 from neuspeech1_tpu.config import StemConfig, WhisperConfig
 from neuspeech1_tpu.models.convert import (
     load_npz,
@@ -25,7 +23,6 @@ from neuspeech1_tpu.models.convert import (
     save_npz,
 )
 from neuspeech1_tpu.models.init import init_params
-from neuspeech1_tpu.train.optimizer import combine_params
 from neuspeech1_tpu.utils.tokenizer import make_tokenizer
 
 

@@ -44,6 +44,9 @@ def main(argv=None):
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)
+    from neuspeech1_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 

@@ -22,8 +22,6 @@ import functools
 import json
 import os
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     from neuspeech1_tpu.utils.args import add_arguments
@@ -109,6 +107,9 @@ def main(argv=None):
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)
+    from neuspeech1_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
 

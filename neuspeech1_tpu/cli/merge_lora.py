@@ -38,6 +38,9 @@ def main(argv=None):
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)
+    from neuspeech1_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     assert args.lora_model and os.path.exists(args.lora_model), (
         f"adapter not found: {args.lora_model}"
     )

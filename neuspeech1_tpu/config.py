@@ -15,7 +15,6 @@ static arguments through `jax.jit`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

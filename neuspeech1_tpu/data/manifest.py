@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import random
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 
 def read_jsonlines(path: str) -> List[dict]:

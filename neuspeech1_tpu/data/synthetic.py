@@ -8,9 +8,8 @@ training, decoding, metrics, CLIs) is testable without the 200 GB corpora.
 from __future__ import annotations
 
 import os
-import struct
 import wave
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

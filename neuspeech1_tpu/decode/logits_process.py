@@ -12,7 +12,7 @@ logits. Positions >= cur_len in `tokens` are garbage and must be masked via
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

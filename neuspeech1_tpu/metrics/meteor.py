@@ -10,7 +10,7 @@ corpus downloads; exact+stem dominates the score in practice).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 try:
     from nltk.stem.porter import PorterStemmer

@@ -22,10 +22,9 @@ gives clean tensor-parallel PartitionSpecs (see `parallel/sharding.py`).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Augment config schema (reference `configs/augmentation1.json`):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

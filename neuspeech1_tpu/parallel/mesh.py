@@ -11,7 +11,7 @@ same code scales to bigger configs and multi-host meshes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
