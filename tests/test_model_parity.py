@@ -257,3 +257,39 @@ def test_ce_loss_masking():
     labels = np.array([[2, -100, -100]], np.int32)
     loss = float(jw.ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
     assert loss < 0.01  # only the unmasked position counts
+
+
+def test_premel_stem_geometry_and_grad():
+    """'premel' stem (reference MyWhisperForConditionalGeneration,
+    utils/load_model.py:1408-1521): ch -> mel pre-conv (k5,s2) feeding
+    whisper's own conv1; total stride budget still 4x."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg = small_cfg()
+    stem = StemConfig("premel", in_channels=10)
+    params = init_params(jax.random.key(0), cfg, stem)
+    assert set(params["encoder"]["stem"]) == {"pre_conv", "conv1"}
+    assert params["encoder"]["stem"]["pre_conv"]["w"].shape == (
+        cfg.num_mel_bins, 10, 5)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 10, cfg.max_source_positions * 4)).astype(np.float32))
+    out = jw.encoder_apply(params, x, cfg, stem)
+    assert out.shape == (2, cfg.max_source_positions, cfg.d_model)
+    # gradient flows to the pre-conv
+    g = jax.grad(lambda p: jnp.sum(
+        jw.encoder_apply(p, x, cfg, stem).astype(jnp.float32) ** 2
+    ))(params)
+    assert float(jnp.abs(g["encoder"]["stem"]["pre_conv"]["w"]).sum()) > 0
+    # hf roundtrip naming
+    from neuspeech1_tpu.models.convert import (
+        params_from_hf_state_dict, params_to_hf_state_dict,
+    )
+    sd = params_to_hf_state_dict(params, cfg, stem)
+    assert "pre_conv1.weight" in sd
+    back = params_from_hf_state_dict(sd, cfg, stem)
+    np.testing.assert_allclose(
+        np.asarray(back["encoder"]["stem"]["pre_conv"]["w"]),
+        np.asarray(params["encoder"]["stem"]["pre_conv"]["w"]), rtol=1e-6)
