@@ -221,3 +221,21 @@ def test_teacher_forcing_matches_hf(gen_pair):
     ours = np.asarray(teacher_forcing_predict(
         params, feats, dec_in, cfg, StemConfig("speech")))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_generate_with_sequence_bias_e2e(gen_pair):
+    """A large positive bias on a chosen token must steer greedy decode to
+    it (the reference biases train-set keywords, evaluation.py:362-367)."""
+    from neuspeech1_tpu.decode.logits_process import SequenceBiasSpec
+
+    cfg, m, params, feats, prompt = gen_pair
+    gen = GenerationConfig.for_model(cfg, max_length=12)
+    base = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                    StemConfig("speech"), gen))
+    target = 33
+    assert target not in base[0][prompt.shape[1]:]
+    spec = SequenceBiasSpec.build({(target,): 50.0})
+    steered = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                       StemConfig("speech"), gen,
+                                       bias_spec=spec))
+    assert (steered[:, prompt.shape[1]] == target).all()
