@@ -144,6 +144,7 @@ def main(argv=None):
         num_beams=args.num_beams,
         repetition_penalty=args.repetition_penalty,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
+        timestamps=args.timestamps,  # whisper timestamp grammar
     )
 
     preds, refs = [], []

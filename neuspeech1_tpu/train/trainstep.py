@@ -68,12 +68,23 @@ def make_loss_fn(
     config: WhisperConfig,
     stem: StemConfig,
     orth_reg_weight: float = 0.0,
+    fold_lora: bool = False,
 ):
+    """With ``fold_lora`` the adapter deltas are materialized into the
+    weights ONCE per step (differentiable W_eff = W + s·A(Λm)B) instead of
+    running per-token low-rank matmuls in every adapted linear — fewer,
+    larger MXU ops at the cost of per-matrix dW_eff gradients."""
+
     def loss_fn(trainable, frozen, batch, dropout_rng):
         combined = combine_params(trainable, frozen)
         params = combined["model"]
         lora = combined.get("lora") or None
         if lora is not None and not jax.tree_util.tree_leaves(lora):
+            lora = None
+        if fold_lora and lora is not None:
+            from neuspeech1_tpu.models.lora import merge_lora
+
+            params = merge_lora(params, lora)
             lora = None
         logits = jw.forward(
             params,
@@ -87,8 +98,11 @@ def make_loss_fn(
         )
         loss = jw.ce_loss(logits, batch["labels"])
         aux = {"ce_loss": loss}
-        if orth_reg_weight > 0.0 and lora is not None:
-            reg = adalora_orth_loss(lora)
+        reg_lora = (combined.get("lora") or None) if fold_lora else lora
+        if reg_lora is not None and not jax.tree_util.tree_leaves(reg_lora):
+            reg_lora = None
+        if orth_reg_weight > 0.0 and reg_lora is not None:
+            reg = adalora_orth_loss(reg_lora)
             loss = loss + orth_reg_weight * reg
             aux["orth_reg"] = reg
         aux["loss"] = loss
@@ -106,12 +120,13 @@ def make_train_step(
     use_dropout: bool = False,
     donate: bool = True,
     track_adalora_importance: bool = False,
+    fold_lora: bool = False,
 ):
     """Returns jitted `train_step(state, frozen, batch) -> (state, metrics)`;
     only `state` is donated. With `track_adalora_importance`, metrics carry a
     per-rank sensitivity tree (|θ·g| over A/B/E) for the AdaLoRA budget
     allocator (reference AdaLoRA config `finetune.py:205-208`)."""
-    loss_fn = make_loss_fn(config, stem, orth_reg_weight)
+    loss_fn = make_loss_fn(config, stem, orth_reg_weight, fold_lora=fold_lora)
 
     def train_step(state: TrainState, frozen, batch):
         rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)

@@ -258,3 +258,27 @@ def test_warmup_linear_schedule():
     assert float(sched(10)) == pytest.approx(1e-3)
     assert float(sched(60)) == pytest.approx(5e-4)
     assert float(sched(110)) == pytest.approx(0.0)
+
+
+def test_fold_lora_grad_equivalence():
+    """fold_lora=True (per-step weight merge) must match the per-token
+    low-rank path in loss and gradients."""
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 3 else x, lora
+    )
+    pred = opt.default_trainable_pred()
+    tx = opt.make_optimizer(grad_clip=None)
+    state, frozen = ts.init_train_state(jax.random.key(2), params, lora, tx, pred)
+    batch = make_batch(cfg, stem)
+    l0 = ts.make_loss_fn(cfg, stem, 0.0, fold_lora=False)
+    l1 = ts.make_loss_fn(cfg, stem, 0.0, fold_lora=True)
+    g0, a0 = jax.grad(l0, has_aux=True)(state.trainable, frozen, batch, None)
+    g1, a1 = jax.grad(l1, has_aux=True)(state.trainable, frozen, batch, None)
+    assert float(a0["loss"]) == pytest.approx(float(a1["loss"]), rel=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4,
+                                   atol=1e-5)
