@@ -47,7 +47,7 @@ def main():
     state, frozen = ts.init_train_state(
         jax.random.key(2), params, lora, tx, opt.default_trainable_pred()
     )
-    step = ts.make_train_step(config, stem, tx)
+    step = ts.make_train_step(config, stem, tx, fold_lora=True)
 
     rng = np.random.default_rng(0)
     batch = {

@@ -46,6 +46,7 @@ class Trainer:
         adalora: Optional[dict] = None,
         tensorboard: bool = False,
         batch_transform: Optional[Callable] = None,
+        fold_lora: bool = False,
     ):
         self.config = config
         self.stem = stem
@@ -73,6 +74,7 @@ class Trainer:
             config, stem, tx, orth_reg_weight=orth_reg_weight,
             augment_config=augment_config,
             track_adalora_importance=bool(adalora),
+            fold_lora=fold_lora,
         )
         self.eval_step = ts.make_eval_step(config, stem)
         self._log_file = open(
