@@ -63,6 +63,22 @@ class GenerationConfig:
         return GenerationConfig(**kw)
 
 
+def load_hf_generation_defaults(path: str) -> dict:
+    """Read suppress/begin-suppress token lists from a local HF
+    generation_config.json (real whisper checkpoints ship a fixed list of
+    non-speech ids there; zero-egress images cannot hardcode it reliably)."""
+    import json
+
+    with open(path) as f:
+        cfg = json.load(f)
+    out = {}
+    if cfg.get("suppress_tokens"):
+        out["suppress_ids"] = tuple(cfg["suppress_tokens"])
+    if cfg.get("begin_suppress_tokens"):
+        out["begin_suppress_ids"] = tuple(cfg["begin_suppress_tokens"])
+    return out
+
+
 def build_prompt(tokenizer, language="english", task="transcribe",
                  timestamps=False):
     """Decoder prompt = <|sot|><|lang|><|task|>[<|nots|>] as a [1, P] array;

@@ -24,8 +24,19 @@ from typing import List, Optional, Sequence
 
 from neuspeech1_tpu.config import WhisperConfig
 
-# Language name -> (code, index-in-language-block). Index must match the
-# multilingual Whisper ordering for the first few languages we care about.
+# Multilingual Whisper language-token ordering: <|en|> = first_language_id,
+# then the codes below in sequence (OpenAI tokenizer LANGUAGES order; the
+# reference relies on the HF tokenizer's copy of the same table).
+WHISPER_LANGUAGE_CODES = (
+    "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms "
+    "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
+    "et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be "
+    "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
+    "ha ba jw su"
+).split()
+
+# Friendly names for the commonly used subset (the reference datasets are
+# English and Dutch); codes always work.
 LANGUAGES = {
     "english": ("en", 0),
     "chinese": ("zh", 1),
@@ -40,8 +51,15 @@ LANGUAGES = {
     "polish": ("pl", 10),
     "catalan": ("ca", 11),
     "dutch": ("nl", 12),
+    "arabic": ("ar", 13),
+    "swedish": ("sv", 14),
+    "italian": ("it", 15),
+    "indonesian": ("id", 16),
+    "hindi": ("hi", 17),
+    "finnish": ("fi", 18),
+    "vietnamese": ("vi", 19),
 }
-CODE_TO_INDEX = {code: idx for code, idx in LANGUAGES.values()}
+CODE_TO_INDEX = {c: i for i, c in enumerate(WHISPER_LANGUAGE_CODES)}
 
 
 def language_token_id(config: WhisperConfig, language: str) -> int:

@@ -282,3 +282,45 @@ def test_fold_lora_grad_equivalence():
     for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4,
                                    atol=1e-5)
+
+
+def test_3d_mesh_train_step():
+    """data2 x fsdp2 x tensor2 mesh: the full train step (LoRA + stem,
+    augment on) runs sharded and matches single-device loss."""
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.sharding import shard_params
+
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    lora = init_lora(jax.random.key(1), cfg, rank=4, alpha=8)
+    pred = opt.default_trainable_pred()
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=10,
+                            grad_clip=None)
+    batch = make_batch(cfg, stem, b=8)
+    step = ts.make_train_step(cfg, stem, tx, donate=False)
+
+    s1, f1 = ts.init_train_state(jax.random.key(2), params, lora, tx, pred)
+    s1, m1 = step(s1, f1, batch)
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    p8 = shard_params(mesh, params)
+    l8 = shard_params(mesh, lora)
+    b8 = jax.device_put(batch, batch_sharding(mesh))
+    s8, f8 = ts.init_train_state(jax.random.key(2), p8, l8, tx, pred)
+    s8, m8 = step(s8, f8, b8)
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+
+
+def test_language_table():
+    from neuspeech1_tpu.config import WhisperConfig
+    from neuspeech1_tpu.utils.tokenizer import (
+        WHISPER_LANGUAGE_CODES, language_token_id,
+    )
+
+    assert len(WHISPER_LANGUAGE_CODES) == 99
+    c = WhisperConfig()
+    assert language_token_id(c, "en") == 50259
+    assert language_token_id(c, "nl") == 50259 + 12
+    assert language_token_id(c, "su") == 50259 + 98
+    assert language_token_id(c, "Dutch") == 50259 + 12
