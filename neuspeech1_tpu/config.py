@@ -82,7 +82,7 @@ class WhisperConfig:
     dtype: str = "bfloat16"        # activation/compute dtype on TPU
     param_dtype: str = "float32"   # master parameter dtype
     remat: bool = False            # jax.checkpoint each transformer layer
-    remat_policy: str = "full"     # 'full' | 'dots' (dots_saveable policy)
+    remat_policy: str = "full"     # 'full' | 'dots' | 'attn' (save attn outs)
     flash_attention: str = "auto"  # 'auto'|'on'|'off' — Pallas flash kernel
 
     @property

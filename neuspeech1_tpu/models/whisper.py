@@ -212,10 +212,13 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
 # --------------------------------------------------------------------------
 
 def _encoder_layer(h, layer_p, n_heads, lora=None, use_flash=False):
+    from jax.ad_checkpoint import checkpoint_name
+
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
     x, _ = mha(x, layer_p["self_attn"], n_heads,
                lora=(lora or {}).get("self_attn"), use_flash=use_flash)
+    x = checkpoint_name(x, "attn_out")  # saveable under remat_policy='attn'
     h = res + x
     res = h
     x = layer_norm(h, layer_p["final_ln"])
@@ -256,8 +259,12 @@ def encoder_apply(
     use_flash = resolve_flash(config, h.shape[1])
     layer_fn = functools.partial(_encoder_layer, use_flash=use_flash)
     if config.remat:
-        policy = (jax.checkpoint_policies.dots_saveable
-                  if config.remat_policy == "dots" else None)
+        if config.remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif config.remat_policy == "attn":
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+        else:
+            policy = None
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=policy)
 
     if enc_lora is None:

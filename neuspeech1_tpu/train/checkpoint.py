@@ -72,11 +72,14 @@ class CheckpointManager:
         step = self.mgr.latest_step()
         if step is None:
             return None
-        target = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-            if hasattr(x, "dtype") else x,
-            self._to_pytree(state),
-        )
+        def abstract(x):
+            if not hasattr(x, "dtype"):
+                return x
+            sharding = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+        # restore straight onto the source shardings (multi-chip safe)
+        target = jax.tree_util.tree_map(abstract, self._to_pytree(state))
         restored = self.mgr.restore(
             step, args=self._ocp.args.StandardRestore(target)
         )

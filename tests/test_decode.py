@@ -239,3 +239,26 @@ def test_generate_with_sequence_bias_e2e(gen_pair):
                                        StemConfig("speech"), gen,
                                        bias_spec=spec))
     assert (steered[:, prompt.shape[1]] == target).all()
+
+
+def test_beam1_equals_greedy(gen_pair):
+    """With no penalties, beam width 1 must reproduce greedy's sequence."""
+    cfg, m, params, feats, prompt = gen_pair
+    gen1 = GenerationConfig.for_model(cfg, max_length=14, num_beams=1)
+    greedy = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                      StemConfig("speech"), gen1))
+    genb = GenerationConfig.for_model(cfg, max_length=14, num_beams=1)
+    import dataclasses
+
+    seq, _ = beam_search(params, feats, prompt, cfg, StemConfig("speech"),
+                         dataclasses.replace(genb, num_beams=1))
+    beam = np.asarray(seq)
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        g = greedy[i]
+        b = beam[i]
+        # compare up to greedy's first eos (beam stores hyp w/o the eos)
+        n = P
+        while n < len(g) and g[n] != gen1.eos_id:
+            n += 1
+        np.testing.assert_array_equal(b[:n], g[:n], err_msg=f"row {i}")
