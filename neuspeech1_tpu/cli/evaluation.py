@@ -122,8 +122,12 @@ def main(argv=None):
         pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
         max_label_len=min(128, config.max_target_positions),
     )
+    from neuspeech1_tpu.data.native_loader import native_available
+
     loader = DataLoader(ds, collator, args.batch_size, shuffle=False,
-                        drop_last=False, prefetch=2)
+                        drop_last=False, prefetch=2,
+                        native_signals=native_available()
+                        and ds.supports_native_signals())
 
     bias_spec = None
     if args.sequence_bias and args.train_data:

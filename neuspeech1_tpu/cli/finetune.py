@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
             "materialize adapter deltas into weights once per step "
             "(measured 14% faster than per-token low-rank matmuls)")
     add_arg("num_workers", int, 4, "loader threads")
+    add_arg("native_loader", str, "auto",
+            "C++ batch signal loader: auto|on|off (auto = use when no "
+            "per-item augmentation and the toolchain builds)")
     add_arg("weight_decay", float, 0.0, "AdamW weight decay")
     add_arg("max_grad_norm", float, 1.0, "gradient clipping")
     add_arg("label_max_length", int, 128, "static label pad length")
@@ -175,11 +178,28 @@ def main(argv=None):
         max_label_len=args.label_max_length,
     )
     mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
+
+    def use_native(ds) -> bool:
+        if args.native_loader == "off" or args.modal == "speech":
+            return False
+        if not ds.supports_native_signals():
+            if args.native_loader == "on":
+                raise ValueError("--native_loader=on but augmentation is active")
+            return False
+        from neuspeech1_tpu.data.native_loader import native_available
+
+        ok = native_available()
+        if args.native_loader == "on" and not ok:
+            raise RuntimeError("--native_loader=on but the C++ loader "
+                               "failed to build")
+        return ok
+
     train_loader = DataLoader(
         train_ds, collator, args.per_device_train_batch_size, shuffle=True,
         seed=args.seed, num_threads=args.num_workers, prefetch=2,
         device_put=True, sharding=batch_sharding(mesh),
         process_index=jax.process_index(), process_count=jax.process_count(),
+        native_signals=use_native(train_ds),
     )
     val_loader = (
         DataLoader(val_ds, collator, args.per_device_eval_batch_size,
@@ -187,7 +207,8 @@ def main(argv=None):
                    num_threads=args.num_workers, prefetch=2,
                    device_put=True, sharding=batch_sharding(mesh),
                    process_index=jax.process_index(),
-                   process_count=jax.process_count())
+                   process_count=jax.process_count(),
+                   native_signals=use_native(val_ds))
         if val_ds else None
     )
 
