@@ -40,6 +40,14 @@ class CheckpointManager:
             enable_async_checkpointing=async_save,
         )
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._meta_path = os.path.join(self.directory, "gating.json")
+        if os.path.exists(self._meta_path):
+            import json
+
+            try:
+                self.best_eval = json.load(open(self._meta_path))["best_eval"]
+            except Exception:
+                pass
 
     def _to_pytree(self, state) -> Dict[str, Any]:
         return {
@@ -53,6 +61,10 @@ class CheckpointManager:
         """Save if gating allows. Returns True when a save happened."""
         if eval_loss is not None and eval_loss < self.best_eval:
             self.best_eval = eval_loss
+            import json
+
+            with open(self._meta_path, "w") as f:
+                json.dump({"best_eval": self.best_eval}, f)
         if self.best_only and not force:
             if eval_loss is None or eval_loss > self.best_eval:
                 return False
