@@ -159,6 +159,13 @@ def main(argv=None):
             feats = rng.standard_normal(feats.shape).astype(np.float32)
         labels = batch["labels"]
         b = feats.shape[0]
+        # pad the final partial batch to the static batch size so decode
+        # does not recompile for one leftover shape; trim outputs after
+        if b < args.batch_size and not args.teacher_forcing:
+            pad_n = args.batch_size - b
+            feats = np.concatenate(
+                [feats, np.repeat(feats[-1:], pad_n, axis=0)], axis=0
+            )
         if args.teacher_forcing:
             out = np.asarray(teacher_forcing_predict(
                 params, jnp.asarray(feats), jnp.asarray(batch["decoder_input_ids"]),
@@ -169,10 +176,10 @@ def main(argv=None):
                 n = int((lab != LABEL_IGNORE_ID).sum())
                 preds.append(tokenizer.decode(out[i][: n]))
         else:
-            bp = np.repeat(prompt, b, axis=0)
+            bp = np.repeat(prompt, feats.shape[0], axis=0)
             out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
                                       stem, gen, bias_spec=bias_spec))
-            preds.extend(tokenizer.batch_decode(out))
+            preds.extend(tokenizer.batch_decode(out[:b]))
         for i in range(b):
             lab = labels[i]
             refs.append(tokenizer.decode(lab))

@@ -207,3 +207,25 @@ def test_speech_dataset_mel_contract(tiny_corpus, tiny_tok):
     item = ds[0]
     assert item["input_features"].shape == (80, 3000)
     assert np.isfinite(item["input_features"]).all()
+
+
+def test_byte_tokenizer_unicode_fuzz(tiny_tok, rng):
+    """Round-trips arbitrary unicode (multi-byte chars) through byte labels
+    + collation + decode."""
+    texts = ["héllo wörld", "日本語テスト", "ñañá 😀 mix", "a" * 200]
+    for t in texts:
+        ids = tiny_tok.build_labels(t)
+        assert tiny_tok.decode(ids) == t
+    from neuspeech1_tpu.data.collate import Collator
+
+    col = Collator(pad_id=tiny_tok.pad_id,
+                   decoder_start_id=tiny_tok.config.sot_id,
+                   max_label_len=256)
+    samples = [
+        {"input_features": np.zeros((2, 4), np.float32),
+         "labels": tiny_tok.build_labels(t)}
+        for t in texts
+    ]
+    batch = col(samples)
+    for i, t in enumerate(texts):
+        assert tiny_tok.decode(batch["labels"][i]) == t
