@@ -1,0 +1,146 @@
+"""High-level inference API: load a full model, transcribe brain signals.
+
+The reference exposes inference only through the evaluation CLI; this is the
+library-user entry point a production deployment would import:
+
+    from neuspeech1_tpu.serve import Transcriber
+    t = Transcriber("runs/gwilliams_base/full_model", tokenizer="byte")
+    texts = t.transcribe(signals)            # [B, ch, T] numpy
+    rows = t.transcribe_with_timestamps(signals[0:1])
+
+Decode compiles once per (batch, prompt) shape; inputs are padded to the
+configured batch size so repeated calls reuse the compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from neuspeech1_tpu.config import SIGNAL_SAMPLE_RATE, StemConfig, WhisperConfig
+
+
+class Transcriber:
+    def __init__(
+        self,
+        model_dir: str,
+        tokenizer: str = "byte",
+        batch_size: int = 8,
+        num_beams: int = 1,
+        repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        max_new_tokens: int = 128,
+        language: Optional[str] = "english",
+        task: str = "transcribe",
+        int8_weights: bool = False,
+    ):
+        from neuspeech1_tpu import enable_compilation_cache
+        from neuspeech1_tpu.cli import common
+        from neuspeech1_tpu.decode.generate import GenerationConfig
+
+        enable_compilation_cache()
+        params, config, stem = common.load_full_model(model_dir)
+        if int8_weights:
+            from neuspeech1_tpu.models.quantize import (
+                dequantize_params, quantize_params,
+            )
+
+            params = dequantize_params(quantize_params(params),
+                                       dtype=np.float32)
+        self.params = params
+        self.config = config
+        self.stem = stem
+        self.tokenizer = common.resolve_tokenizer(tokenizer, config)
+        self.batch_size = batch_size
+        self.language = language
+        self.task = task
+        self.prompt = np.asarray(
+            [self.tokenizer.prefix_tokens(language, task)], np.int32
+        )
+        self.gen = GenerationConfig.for_model(
+            config,
+            max_length=self.prompt.shape[1] + max_new_tokens,
+            num_beams=num_beams,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def expected_samples(self) -> int:
+        return self.config.max_source_positions * 4
+
+    def _prepare(self, signals: np.ndarray) -> np.ndarray:
+        """[B, ch, T] -> clipped/padded to the model's input geometry."""
+        signals = np.asarray(signals, np.float32)
+        if signals.ndim == 2:
+            signals = signals[None]
+        b, ch, t = signals.shape
+        need_ch = self.stem.in_channels
+        if ch > need_ch:
+            signals = signals[:, :need_ch]
+        elif ch < need_ch:
+            signals = np.pad(signals, ((0, 0), (0, need_ch - ch), (0, 0)))
+        n = self.expected_samples
+        signals = signals[:, :, :n]
+        if signals.shape[-1] < n:
+            signals = np.pad(
+                signals, ((0, 0), (0, 0), (0, n - signals.shape[-1]))
+            )
+        return signals
+
+    def transcribe(self, signals: np.ndarray) -> List[str]:
+        """Batched decode; pads to `batch_size` internally (one compile)."""
+        import jax.numpy as jnp
+
+        from neuspeech1_tpu.decode.generate import generate
+
+        signals = self._prepare(signals)
+        out_texts: List[str] = []
+        bs = self.batch_size
+        for i in range(0, signals.shape[0], bs):
+            chunk = signals[i : i + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)], axis=0
+                )
+            prompt = np.repeat(self.prompt, bs, axis=0)
+            out = np.asarray(
+                generate(self.params, jnp.asarray(chunk), prompt, self.config,
+                         self.stem, self.gen)
+            )
+            out_texts.extend(self.tokenizer.batch_decode(out[:n]))
+        return out_texts
+
+    def transcribe_with_timestamps(self, signals: np.ndarray) -> List[List[dict]]:
+        """Per-token start/end times via cross-attention DTW (offline path)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from neuspeech1_tpu.decode.generate import greedy_decode
+        from neuspeech1_tpu.decode.timestamps import word_timestamps
+
+        signals = self._prepare(signals)
+        gen = dataclasses.replace(self.gen, num_beams=1)
+        rows: List[List[dict]] = []
+        for i in range(signals.shape[0]):
+            feats = signals[i : i + 1]
+            prompt = self.prompt
+            out = np.asarray(
+                greedy_decode(self.params, jnp.asarray(feats), prompt,
+                              self.config, self.stem, gen)
+            )[0]
+            # trim at eot
+            toks = []
+            for t in out:
+                toks.append(int(t))
+                if t == self.config.eot_id and len(toks) > prompt.shape[1]:
+                    break
+            rows.append(
+                word_timestamps(self.params, jnp.asarray(feats), toks,
+                                self.config, self.stem, self.tokenizer)
+            )
+        return rows

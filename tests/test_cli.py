@@ -102,3 +102,29 @@ def test_manifest_tools_cli(tmp_path, tiny_corpus):
     assert all(r["language"] == "Dutch" for r in read_jsonlines(out2))
     mtool(["split", out2, "-o", str(tmp_path / "sp"), "--seed", "2"])
     assert os.path.exists(str(tmp_path / "sp" / "train.jsonl"))
+
+
+def test_transcriber_api(cli_run):
+    """Library inference entry point over a merged full model."""
+    import numpy as np
+
+    from neuspeech1_tpu.serve import Transcriber
+
+    corpus, out = cli_run
+    if not os.path.exists(f"{out}/full_model"):
+        from neuspeech1_tpu.cli.merge_lora import main as merge
+
+        merge([f"--lora_model={out}/adapter_final.npz", "--base_model=random",
+               "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE])
+    t = Transcriber(f"{out}/full_model", tokenizer="byte", batch_size=2,
+                    max_new_tokens=8)
+    rng = np.random.default_rng(0)
+    # 3 clips -> exercises batch padding; short + narrow input -> padding
+    sigs = rng.standard_normal((3, 3, 50)).astype(np.float32)
+    texts = t.transcribe(sigs)
+    assert len(texts) == 3
+    assert all(isinstance(x, str) for x in texts)
+    rows = t.transcribe_with_timestamps(sigs[:1])
+    assert len(rows) == 1
+    for r in rows[0]:
+        assert 0.0 <= r["start"] <= r["end"]

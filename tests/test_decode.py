@@ -262,3 +262,23 @@ def test_beam1_equals_greedy(gen_pair):
         while n < len(g) and g[n] != gen1.eos_id:
             n += 1
         np.testing.assert_array_equal(b[:n], g[:n], err_msg=f"row {i}")
+
+
+def test_generate_with_sharded_params(gen_pair):
+    """Greedy decode with params/features sharded over an 8-device data mesh
+    must match the replicated result (multi-chip inference path)."""
+    import jax
+
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.sharding import shard_params
+
+    cfg, m, params, feats, prompt = gen_pair
+    gen = GenerationConfig.for_model(cfg, max_length=14)
+    ref = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                   StemConfig("speech"), gen))
+    mesh = make_mesh(data=2)
+    p_sh = shard_params(mesh, params)
+    f_sh = jax.device_put(feats, batch_sharding(mesh))
+    out = np.asarray(greedy_decode(p_sh, f_sh, prompt, cfg,
+                                   StemConfig("speech"), gen))
+    np.testing.assert_array_equal(out, ref)
