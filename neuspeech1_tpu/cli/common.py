@@ -29,7 +29,13 @@ from neuspeech1_tpu.utils.tokenizer import make_tokenizer
 def load_base_params(
     base_model: str, config: WhisperConfig, stem: StemConfig, seed: int = 0
 ):
-    """Resolve a --base_model argument into a parameter tree."""
+    """Resolve a --base_model argument into a parameter tree.
+
+    Stock (speech) whisper checkpoints loaded for an EEG stem get the
+    reference's stem-swap treatment (`finetune.py:143-148`): the transformer
+    body + conv2 are ported, the projection stem is freshly initialized for
+    the requested channel count.
+    """
     import jax
 
     if base_model == "random":
@@ -41,7 +47,25 @@ def load_base_params(
             p = os.path.join(base_model, name)
             if os.path.exists(p):
                 sd = _load_torch_state_dict(p)
-                return params_from_hf_state_dict(sd, config, stem)
+                try:
+                    return params_from_hf_state_dict(sd, config, stem)
+                except KeyError:
+                    if stem.kind == "speech":
+                        raise
+                    # stock speech checkpoint + EEG stem: port the body,
+                    # swap in a fresh stem (reference finetune.py:143-148)
+                    params = params_from_hf_state_dict(
+                        sd, config, StemConfig("speech")
+                    )
+                    from neuspeech1_tpu.models.init import init_stem
+
+                    params["encoder"]["stem"] = init_stem(
+                        jax.random.key(seed), config, stem
+                    )
+                    print(f"[load] stock whisper checkpoint: swapped in a "
+                          f"fresh '{stem.kind}' stem "
+                          f"({stem.in_channels} channels)")
+                    return params
         npz = os.path.join(base_model, "params.npz")
         if os.path.exists(npz):
             return load_npz(npz)

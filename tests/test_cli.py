@@ -128,3 +128,35 @@ def test_transcriber_api(cli_run):
     assert len(rows) == 1
     for r in rows[0]:
         assert 0.0 <= r["start"] <= r["end"]
+
+
+def test_load_stock_hf_checkpoint_with_stem_swap(tmp_path):
+    """Loading a stock (speech) HF whisper dir for EEG training ports the
+    body and freshly initializes the EEG stem (reference stem-swap,
+    finetune.py:143-148)."""
+    import torch
+
+    from neuspeech1_tpu.cli import common
+    from neuspeech1_tpu.config import StemConfig
+
+    from tests.test_model_parity import hf_model, small_cfg
+
+    cfg = small_cfg()
+    m = hf_model(cfg)
+    mdir = str(tmp_path / "hf")
+    os.makedirs(mdir)
+    torch.save(m.state_dict(), os.path.join(mdir, "pytorch_model.bin"))
+
+    stem = StemConfig("base", in_channels=12)
+    params = common.load_base_params(mdir, cfg, stem)
+    # body ported exactly
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["token_embed"]),
+        m.model.decoder.embed_tokens.weight.detach().numpy(), rtol=1e-6)
+    # stem freshly initialized with the EEG geometry
+    assert params["encoder"]["stem"]["conv_a"]["w"].shape == (cfg.d_model, 12, 3)
+    # speech stem still loads directly
+    sp = common.load_base_params(mdir, cfg, StemConfig("speech"))
+    np.testing.assert_allclose(
+        np.asarray(sp["encoder"]["stem"]["conv1"]["w"]),
+        m.model.encoder.conv1.weight.detach().numpy(), rtol=1e-6)
