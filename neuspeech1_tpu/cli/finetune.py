@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("logging_steps", int, 100, "log interval")
     add_arg("save_total_limit", int, 5, "max checkpoints kept")
     add_arg("resume_from_checkpoint", bool, False, "resume latest checkpoint")
+    add_arg("eval_wer", bool, False,
+            "greedy-decode the val set at each eval and log WER/BLEU-1")
     add_arg("export_full_model", bool, False,
             "also write output_dir/full_model with adapters merged "
             "(reference SaveFullModelCallback, utils/callback.py:55-72)")
@@ -287,6 +289,8 @@ def main(argv=None):
         orth_reg_weight=args.orth_reg_weight if (lora is not None and args.use_adalora) else 0.0,
         adalora=adalora_cfg, tensorboard=True,
         fold_lora=args.fold_lora_in_step,
+        generate_eval_tokenizer=tokenizer if args.eval_wer else None,
+        generate_eval_language=args.language,
     )
     state = trainer.train(resume_from_checkpoint=args.resume_from_checkpoint)
 

@@ -75,15 +75,37 @@ def layer_norm(x, p: Params, eps: float = 1e-5):
     return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
+import os as _os
+
+_CONV_IMPL = _os.environ.get("NEUSPEECH_CONV_IMPL", "conv")  # 'conv'|'matmul'
+
+
 def conv1d(x, p: Params, stride: int = 1, padding: int = 1):
-    """1-D conv over [B, C, T] with torch-layout kernel [out, in, k]."""
+    """1-D conv over [B, C, T] with torch-layout kernel [out, in, k].
+
+    Two lowerings: XLA's native conv, or K shifted matmuls (einsum over the
+    channel dim) — on TPU the matmul form sometimes maps better onto the MXU
+    for channel-heavy stems; selectable via NEUSPEECH_CONV_IMPL.
+    """
+    w = p["w"].astype(x.dtype)
+    b = p["b"].astype(x.dtype)[None, :, None]
+    if _CONV_IMPL == "matmul":
+        k = w.shape[-1]
+        t_out = (x.shape[-1] + 2 * padding - k) // stride + 1
+        xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+        y = None
+        for j in range(k):
+            xs = lax.slice_in_dim(xp, j, j + (t_out - 1) * stride + 1, stride, axis=2)
+            term = jnp.einsum("bct,oc->bot", xs, w[:, :, j])
+            y = term if y is None else y + term
+        return y + b
     return lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        w,
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-    ) + p["b"].astype(x.dtype)[None, :, None]
+    ) + b
 
 
 def _split_heads(x, n_heads: int):

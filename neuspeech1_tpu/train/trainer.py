@@ -47,6 +47,9 @@ class Trainer:
         tensorboard: bool = False,
         batch_transform: Optional[Callable] = None,
         fold_lora: bool = False,
+        generate_eval_tokenizer=None,
+        generate_eval_max_new: int = 48,
+        generate_eval_language: Optional[str] = "english",
     ):
         self.config = config
         self.stem = stem
@@ -91,6 +94,9 @@ class Trainer:
             except Exception:
                 self._tb = None
         self._imp_ema = None  # AdaLoRA sensitivity EMA (PEFT beta=0.85)
+        self._gen_tok = generate_eval_tokenizer
+        self._gen_max_new = generate_eval_max_new
+        self._gen_lang = generate_eval_language
 
     # ------------------------------------------------------------------
     def log(self, record: Dict[str, Any]):
@@ -128,6 +134,40 @@ class Trainer:
         if n == 0:
             return float("nan")  # empty eval set must not look like loss 0
         return total / n
+
+    def evaluate_generate(self) -> Dict[str, float]:
+        """Greedy-decode the eval set and score WER/BLEU-1 — the
+        predict_with_generate-style metric loop the reference defers to its
+        separate evaluation.py CLI."""
+        if self.eval_loader is None or self._gen_tok is None:
+            return {}
+        import jax.numpy as jnp
+        import numpy as np
+
+        from neuspeech1_tpu.decode.generate import (
+            GenerationConfig, greedy_decode,
+        )
+        from neuspeech1_tpu.metrics.battery import compute_battery
+
+        tok = self._gen_tok
+        params, lora = ts.model_params_of(self.state, self.frozen)
+        prompt = np.asarray([tok.prefix_tokens(self._gen_lang)], np.int32)
+        gen = GenerationConfig.for_model(
+            self.config, max_length=prompt.shape[1] + self._gen_max_new
+        )
+        preds, refs = [], []
+        for batch in self.eval_loader:
+            feats = np.asarray(batch["input_features"])
+            labels = np.asarray(batch["labels"])
+            bp = np.repeat(prompt, feats.shape[0], axis=0)
+            out = np.asarray(greedy_decode(
+                params, jnp.asarray(feats), bp, self.config, self.stem, gen,
+                lora=lora,
+            ))
+            preds.extend(tok.batch_decode(out))
+            refs.extend(tok.decode(l) for l in labels)
+        m = compute_battery(preds, refs, include_cer=False)
+        return {"eval_wer": m["wer"], "eval_bleu1": m["bleu-1"]}
 
     def _prep(self, batch):
         import jax.numpy as jnp
@@ -190,7 +230,9 @@ class Trainer:
 
                 if self.eval_loader is not None and step_num % self.eval_steps == 0:
                     eval_loss = self.evaluate()
-                    self.log({"step": step_num, "eval_loss": eval_loss})
+                    rec = {"step": step_num, "eval_loss": eval_loss}
+                    rec.update(self.evaluate_generate())
+                    self.log(rec)
                     if step_num % self.save_steps == 0:
                         saved = self.ckpt.save(self.state, eval_loss=eval_loss)
                         if saved:
