@@ -72,15 +72,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_q, t_kv,
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-def _fwd(q, k, v, scale, causal, block_q):
-    bh, t_q, d = q.shape
-    t_kv = k.shape[1]
-    tq_pad = _round_up(t_q, block_q)
-    tk_pad = _round_up(t_kv, 128)
-    q = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0)))
-    k = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
-    v = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
-
+def _fwd_arrays(q, k, v, scale, causal, block_q, t_q, t_kv):
+    """Pallas forward on padded [bh, ...] arrays (partitionable on dim 0)."""
+    bh, tq_pad, d = q.shape
+    tk_pad = k.shape[1]
     grid = (bh, tq_pad // block_q)
     o, lse = pl.pallas_call(
         functools.partial(
@@ -108,6 +103,18 @@ def _fwd(q, k, v, scale, causal, block_q):
         ],
         interpret=not on_tpu(),
     )(q, k, v)
+    return o, lse
+
+
+def _fwd(q, k, v, scale, causal, block_q):
+    bh, t_q, d = q.shape
+    t_kv = k.shape[1]
+    tq_pad = _round_up(t_q, block_q)
+    tk_pad = _round_up(t_kv, 128)
+    q = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    o, lse = _fwd_sharded(q, k, v, scale, causal, block_q, t_q, t_kv)
     return o[:, :t_q], lse
 
 
@@ -176,20 +183,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd(scale, causal, block_q, res, g):
-    q, k, v, o, lse = res
-    do = g
-    bh, t_q, d = q.shape
-    t_kv = k.shape[1]
-    tq_pad = _round_up(t_q, block_q)
-    tk_pad = _round_up(t_kv, 128)
-    qp = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
-    op = jnp.pad(o, ((0, 0), (0, tq_pad - t_q), (0, 0)))
-    dop = jnp.pad(do, ((0, 0), (0, tq_pad - t_q), (0, 0)))
-    lsep = lse  # already [bh, 8, tq_pad] from the forward
-
+def _bwd_arrays(qp, kp, vp, op, dop, lsep, scale, causal, block_q, t_q, t_kv):
+    """Pallas backward on padded [bh, ...] arrays (partitionable on dim 0)."""
+    bh, tq_pad, d = qp.shape
+    tk_pad = kp.shape[1]
     n_q_blocks = tq_pad // block_q
     dq, dk, dv = pl.pallas_call(
         functools.partial(
@@ -220,9 +217,9 @@ def _bwd(scale, causal, block_q, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, tk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, tk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, tq_pad, d), qp.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d), kp.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d), vp.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((tk_pad, d), jnp.float32),
@@ -230,7 +227,97 @@ def _bwd(scale, causal, block_q, res, g):
         ],
         interpret=not on_tpu(),
     )(qp, kp, vp, op, dop, lsep)
+    return dq, dk, dv
+
+
+def _bwd(scale, causal, block_q, res, g):
+    q, k, v, o, lse = res
+    do = g
+    bh, t_q, d = q.shape
+    t_kv = k.shape[1]
+    tq_pad = _round_up(t_q, block_q)
+    tk_pad = _round_up(t_kv, 128)
+    qp = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0)))
+    op = jnp.pad(o, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, tq_pad - t_q), (0, 0)))
+    lsep = lse  # already [bh, 8, tq_pad] from the forward
+    dq, dk, dv = _bwd_sharded(
+        qp, kp, vp, op, dop, lsep, scale, causal, block_q, t_q, t_kv
+    )
     return dq[:, :t_q], dk[:, :t_kv], dv[:, :t_kv]
+
+
+# ----------------------------------------------------------------------
+# SPMD partitioning: the kernels shard trivially over the fused (B*H) dim.
+# Without this, GSPMD would all-gather sharded inputs and run the custom
+# call replicated on every device.
+# ----------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as _P
+
+
+def _dim0_spec(sharding):
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _make_partitioned(fn, n_arrays: int, n_out: int, out_ndims,
+                      sharding_rule=None, need_replication=()):
+    wrapped = custom_partitioning(
+        fn, static_argnums=tuple(range(n_arrays, n_arrays + 5))
+    )
+
+    def _shardings(mesh, b):
+        outs = tuple(
+            NamedSharding(mesh, _P(b, *([None] * (nd - 1)))) for nd in out_ndims
+        )
+        args = tuple(
+            NamedSharding(mesh, _P(b, None, None)) for _ in range(n_arrays)
+        )
+        return outs, args
+
+    def infer(*call_args):
+        *_, mesh, arg_infos, result_infos = call_args
+        b = _dim0_spec(arg_infos[0].sharding)
+        outs, _ = _shardings(mesh, b)
+        return outs if n_out > 1 else outs[0]
+
+    def partition(*call_args):
+        *static, mesh, arg_infos, result_infos = call_args
+        static = static[-5:]  # (scale, causal, block_q, t_q, t_kv)
+        b = _dim0_spec(arg_infos[0].sharding)
+        outs, args = _shardings(mesh, b)
+
+        def lower(*arrays):
+            return fn(*arrays, *static)
+
+        return mesh, lower, (outs if n_out > 1 else outs[0]), args
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=sharding_rule,  # required by the Shardy partitioner
+        need_replication_factors=need_replication,
+    )
+    return wrapped
+
+
+_fwd_sharded = _make_partitioned(
+    _fwd_arrays, 3, 2, (3, 3),
+    sharding_rule="b q d, b k d, b k d -> b q d, b e q",
+    # factor order must follow first appearance: q(1) d(2) k(3) e(4)
+    need_replication=("q", "d", "k", "e"),
+)
+_bwd_sharded = _make_partitioned(
+    _bwd_arrays, 6, 3, (3, 3, 3),
+    sharding_rule="b q d, b k d, b k d, b q d, b q d, b e q -> b q d, b k d, b k d",
+    need_replication=("q", "d", "k", "e"),
+)
 
 
 # ----------------------------------------------------------------------
