@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("bias_weight", float, -1.0, "sequence bias value")
     add_arg("post_processing", bool, False, "ascii+lowercase post-processing")
     add_arg("per_sentence", bool, False, "also write per-sentence metric rows")
+    add_arg("prompt_from_labels", bool, False,
+            "use each sample's own label prefix as the decode prompt "
+            "(reference's non-English path, evaluation.py:357-359)")
     add_arg("bertscore_model", str, None, "local encoder dir for BERTScore")
     add_arg("perplexity_model", str, None, "local causal-LM dir for ppl")
     add_arg("output_dir", str, "eval_output/", "results directory")
@@ -176,7 +179,17 @@ def main(argv=None):
                 n = int((lab != LABEL_IGNORE_ID).sum())
                 preds.append(tokenizer.decode(out[i][: n]))
         else:
-            bp = np.repeat(prompt, feats.shape[0], axis=0)
+            if args.prompt_from_labels:
+                # per-sample prompt [sot, lang, task(, nots)] from the gold
+                # prefix — bilingual-safe (reference labels[:, :4] path)
+                P = prompt.shape[1]
+                bp = np.asarray(batch["decoder_input_ids"][:, :P], np.int32)
+                if bp.shape[0] < feats.shape[0]:
+                    bp = np.concatenate(
+                        [bp, np.repeat(bp[-1:], feats.shape[0] - bp.shape[0],
+                                       axis=0)], axis=0)
+            else:
+                bp = np.repeat(prompt, feats.shape[0], axis=0)
             out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
                                       stem, gen, bias_spec=bias_spec))
             preds.extend(tokenizer.batch_decode(out[:b]))
