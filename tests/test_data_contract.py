@@ -229,3 +229,59 @@ def test_byte_tokenizer_unicode_fuzz(tiny_tok, rng):
     batch = col(samples)
     for i, t in enumerate(texts):
         assert tiny_tok.decode(batch["labels"][i]) == t
+
+
+def test_combine_sentences_extends_transcript(tiny_corpus, tiny_tok):
+    """Sentence combining: longer signals + concatenated transcripts with
+    shifted timings (reference `utils/reader.py:321-342`)."""
+    root, _ = tiny_corpus
+    ds = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="train", modal_ch=8,
+                    combine_sentences=True, seed=3)
+    base = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="eval", modal_ch=8)
+    lens = []
+    for i in range(len(ds)):
+        sig, transcript, _ = ds._combine_random(i)
+        lens.append(len(transcript))
+        # timings strictly ordered across combined sentences
+        starts = [t["start"] for t in transcript]
+        assert starts == sorted(starts)
+    assert max(lens) > 1  # at least one combination happened
+
+
+def test_split_sentences_shortens(tiny_corpus, tiny_tok):
+    root, _ = tiny_corpus
+    ds = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="train", modal_ch=8,
+                    split_sentences=True, seed=0)
+    full_len = len(ds.rows[0]["sentence"].split())
+    seen_shorter = False
+    for seed in range(5):
+        ds.rng = np.random.default_rng(seed)
+        sig, transcript, _ = ds._split_random(0)
+        words = transcript[0]["text"].split()
+        assert 1 <= len(words) <= full_len
+        assert sig.shape[1] <= ds.rows[0]["duration"] * 200 + 1
+        seen_shorter |= len(words) < full_len
+    assert seen_shorter
+
+
+def test_shift_augmentation_realigns_words(tiny_corpus, tiny_tok):
+    """Time-shift must move signal AND all transcript/word timings by the
+    same offset (reference `utils/reader.py:403-441`)."""
+    root, _ = tiny_corpus
+    ds = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="train", modal_ch=8,
+                    augment_config={"shift": {"prob": 1.0}}, seed=7)
+    sig0, tr0, _ = ds._get_row_data(0)
+    import copy
+
+    sig1, tr1 = ds._shift(sig0.copy(), copy.deepcopy(tr0))
+    dt = tr1[0]["start"] - tr0[0]["start"]
+    assert dt >= 0
+    assert sig1.shape[1] - sig0.shape[1] == pytest.approx(dt * 200, abs=1)
+    for a, b in zip(tr0, tr1):
+        assert b["end"] - a["end"] == pytest.approx(dt, abs=1e-9)
+        for wa, wb in zip(a.get("words", []), b.get("words", [])):
+            assert wb["start"] - wa["start"] == pytest.approx(dt, abs=1e-9)
+    # shifted head is zeros
+    n0 = int(round(dt * 200))
+    if n0 > 0:
+        np.testing.assert_array_equal(sig1[:, :n0], 0.0)
