@@ -175,3 +175,36 @@ def test_text_postprocessing():
     assert tx.remove_punctuation(["a, b! c?"]) == ["a b c"]
     assert tx.to_simple(["abc"]) == ["abc"]
     assert len(tx.generate_random_string(10)) == 10
+
+
+def test_edit_counts_identities_fuzz():
+    """Alignment count identities on random pairs: H+S+D = |ref|,
+    H+S+I = |hyp|, and cost S+D+I equals the true Levenshtein distance."""
+    rng = np.random.default_rng(0)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    for _ in range(30):
+        n, m = rng.integers(0, 10, 2)
+        ref = [str(x) for x in rng.integers(0, 4, n)]
+        hyp = [str(x) for x in rng.integers(0, 4, m)]
+        h, s, d, i = edit.edit_counts(ref, hyp)
+        assert h + s + d == len(ref)
+        assert h + s + i == len(hyp)
+        assert s + d + i == lev(ref, hyp)
+        assert min(h, s, d, i) >= 0
+
+
+def test_wer_symmetry_properties():
+    assert edit.wer(["a b c"], ["a b c"]) == 0
+    # insertion-only and deletion-only
+    assert edit.wer(["a b c d"], ["a b c"]) == pytest.approx(1 / 3)
+    assert edit.wer(["a b"], ["a b c"]) == pytest.approx(1 / 3)
