@@ -160,3 +160,22 @@ def test_load_stock_hf_checkpoint_with_stem_swap(tmp_path):
     np.testing.assert_allclose(
         np.asarray(sp["encoder"]["stem"]["conv1"]["w"]),
         m.model.encoder.conv1.weight.detach().numpy(), rtol=1e-6)
+
+
+def test_evaluation_speech_cli(cli_run):
+    """Speech-modality eval pipeline end-to-end (mel frontend + decode)."""
+    from neuspeech1_tpu.cli.evaluation_speech import main as eval_speech
+
+    corpus, out = cli_run
+    m = eval_speech([
+        f"--test_data={corpus}/test.jsonl",
+        "--base_model=random", "--tokenizer=byte", "--bf16=False",
+        "--d_model=32", "--encoder_layers=1", "--decoder_layers=1",
+        "--encoder_heads=2", "--decoder_heads=2", "--encoder_ffn=64",
+        "--decoder_ffn=64", "--max_target_positions=40",
+        "--batch_size=2", "--num_beams=1", "--max_new_tokens=4",
+        f"--output_dir={out}/speech_eval",
+    ])
+    assert "wer" in m
+    assert any(f.endswith("_speech.json")
+               for f in os.listdir(f"{out}/speech_eval"))

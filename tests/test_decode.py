@@ -282,3 +282,19 @@ def test_generate_with_sharded_params(gen_pair):
     out = np.asarray(greedy_decode(p_sh, f_sh, prompt, cfg,
                                    StemConfig("speech"), gen))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_beam_early_stopping_parity(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    L = 14
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=3,
+                       do_sample=False, length_penalty=1.0,
+                       early_stopping=True)
+    gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=3,
+                                     early_stopping=True)
+    seq, _ = beam_search(params, feats, prompt, cfg, StemConfig("speech"), gen)
+    ours = np.asarray(seq)
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(
+            ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
