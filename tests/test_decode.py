@@ -298,3 +298,36 @@ def test_beam_early_stopping_parity(gen_pair):
     for i in range(feats.shape[0]):
         np.testing.assert_array_equal(
             ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
+
+
+def test_beam_length_penalty_parity(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    L = 14
+    for lp in (0.6, 2.0):
+        ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=3,
+                           do_sample=False, length_penalty=lp,
+                           early_stopping=False)
+        gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=3,
+                                         length_penalty=lp)
+        seq, _ = beam_search(params, feats, prompt, cfg,
+                             StemConfig("speech"), gen)
+        ours = np.asarray(seq)
+        P = prompt.shape[1]
+        for i in range(feats.shape[0]):
+            np.testing.assert_array_equal(
+                ours[i][P : P + ref.shape[1]], ref[i],
+                err_msg=f"lp={lp} row {i}")
+
+
+def test_min_new_tokens_parity(gen_pair):
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=1,
+                       do_sample=False, min_new_tokens=6)
+    gen = GenerationConfig.for_model(cfg, max_length=L, min_new_tokens=6)
+    ours = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                    StemConfig("speech"), gen))
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(
+            ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
