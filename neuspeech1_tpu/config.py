@@ -150,8 +150,12 @@ WHISPER_PRESETS = {
     "large":  dict(d_model=1280, encoder_layers=32, decoder_layers=32,
                    encoder_heads=20, decoder_heads=20,
                    encoder_ffn=5120, decoder_ffn=5120, vocab_size=51866,
-                   # large-v3: 128 mel bins and an extra <|yue|> language
-                   num_mel_bins=128, num_languages=100),
+                   # large-v3: 128 mel bins; the extra <|yue|> language token
+                   # shifts every later special id by +1
+                   num_mel_bins=128, num_languages=100,
+                   translate_id=50359, transcribe_id=50360,
+                   startoflm_id=50361, startofprev_id=50362,
+                   nocaptions_id=50363, notimestamps_id=50364),
 }
 
 

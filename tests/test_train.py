@@ -324,3 +324,17 @@ def test_language_table():
     assert language_token_id(c, "nl") == 50259 + 12
     assert language_token_id(c, "su") == 50259 + 98
     assert language_token_id(c, "Dutch") == 50259 + 12
+
+
+def test_whisper_presets_consistent():
+    """Every preset's special-token layout must be internally consistent:
+    timestamps fill exactly [notimestamps+1, vocab)."""
+    from neuspeech1_tpu.config import WHISPER_PRESETS, preset_config
+
+    for name in WHISPER_PRESETS:
+        c = preset_config(name)
+        assert c.translate_id == c.first_language_id + c.num_languages, name
+        assert c.transcribe_id == c.translate_id + 1, name
+        assert c.notimestamps_id == c.nocaptions_id + 1, name
+        assert c.num_timestamps == 1501, name
+        assert c.d_model % c.encoder_heads == 0, name
