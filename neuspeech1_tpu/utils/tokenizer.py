@@ -32,8 +32,8 @@ WHISPER_LANGUAGE_CODES = (
     "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
     "et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be "
     "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
-    "ha ba jw su"
-).split()
+    "ha ba jw su yue"
+).split()  # yue is 100th — only valid for large-v3 configs (num_languages=100)
 
 # Friendly names for the commonly used subset (the reference datasets are
 # English and Dutch); codes always work.

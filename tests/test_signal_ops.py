@@ -131,3 +131,15 @@ def test_augment_batch_jnp(rng):
     assert not np.allclose(out, batch)
     # taylor trims ends
     assert (np.asarray(out)[:, :, 0] == 0).all()
+
+
+def test_augment_batch_jnp_per_sample_probability(rng):
+    """prob=0.5 must apply noise per-sample (≈half the batch changes)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = {"noise": {"prob": 0.5, "min_snr_dB": 5, "max_snr_dB": 10}}
+    batch = jnp.asarray(rng.standard_normal((64, 4, 100)).astype(np.float32))
+    out = aug.augment_batch_jnp(jax.random.key(3), batch, cfg)
+    changed = np.any(np.asarray(out) != np.asarray(batch), axis=(1, 2))
+    assert 10 < changed.sum() < 54  # loose binomial bounds for n=64, p=.5

@@ -318,12 +318,19 @@ def test_language_table():
         WHISPER_LANGUAGE_CODES, language_token_id,
     )
 
-    assert len(WHISPER_LANGUAGE_CODES) == 99
+    assert len(WHISPER_LANGUAGE_CODES) == 100  # 99 + yue (large-v3 only)
     c = WhisperConfig()
     assert language_token_id(c, "en") == 50259
     assert language_token_id(c, "nl") == 50259 + 12
     assert language_token_id(c, "su") == 50259 + 98
     assert language_token_id(c, "Dutch") == 50259 + 12
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        language_token_id(c, "yue")  # outside base's 99-language block
+    from neuspeech1_tpu.config import preset_config
+
+    assert language_token_id(preset_config("large"), "yue") == 50259 + 99
 
 
 def test_whisper_presets_consistent():
