@@ -213,7 +213,7 @@ def word_timestamps(
     token_ids: List[int],
     config: WhisperConfig,
     stem: StemConfig,
-    tokenizer,
+    tokenizer=None,  # reserved for word-level grouping of text tokens
     time_per_frame: float = 0.02,
     medfilt_width: int = 7,
     lora=None,

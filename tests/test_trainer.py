@@ -159,3 +159,25 @@ def test_trainer_with_real_loader(tmp_path, tiny_corpus, tiny_tok):
     state = trainer.train()
     assert int(jax.device_get(state.step)) == 4
     trainer.ckpt.close()
+
+
+def test_profiler_and_step_timer(tmp_path):
+    import jax.numpy as jnp
+
+    from neuspeech1_tpu.train.profiling import Profiler, StepTimer, annotate
+
+    prof = Profiler(str(tmp_path / "prof"), start_step=1, num_steps=1)
+    timer = StepTimer()
+    x = jnp.ones((8, 8))
+    for step in range(3):
+        prof.maybe_start(step)
+        with timer.measure():
+            with annotate("matmul"):
+                y = x @ x
+            timer.block(y)
+        prof.maybe_stop(step)
+    prof.close()
+    assert timer.mean_ms >= 0
+    assert len(timer.times) == 3
+    # a trace directory was produced
+    assert any((tmp_path / "prof").iterdir())
