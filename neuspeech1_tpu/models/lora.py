@@ -172,17 +172,61 @@ def _map_entries(lora, other, fn):
 
 def adalora_budget(step: int, init_r: int, target_r: int, tinit: int,
                    tfinal: int, total_steps: int) -> int:
-    """Cubic budget schedule (AdaLoRA paper / PEFT): keep init_r until
-    tinit, decay to target_r by total_steps - tfinal, then hold.
+    """Cubic budget schedule, boundary-exact with PEFT's
+    `RankAllocator.budget_schedule`: keep init_r through tinit, hold
+    target_r after total_steps - tfinal, cubic decay between.
     Reference config: init_r=12, target_r=4, tinit=200, tfinal=1000
     (`finetune.py:205-208`)."""
-    if step < tinit:
+    if step <= tinit:
         return init_r
-    end = max(total_steps - tfinal, tinit + 1)
-    if step >= end:
+    if step > total_steps - tfinal:
         return target_r
-    frac = (step - tinit) / (end - tinit)
-    return int(target_r + (init_r - target_r) * (1 - frac) ** 3)
+    mul = 1 - (step - tinit) / (total_steps - tfinal - tinit)
+    return int((init_r - target_r) * mul**3 + target_r)
+
+
+def adalora_update_masks_global(
+    lora: Params, importance: Params, budget_per_matrix: int
+) -> Params:
+    """PEFT-faithful GLOBAL rank allocation: the budget is pooled across all
+    adapted matrices and the globally most important ranks keep their masks
+    (PEFT `RankAllocator.mask_to_budget`), so hot matrices can hold more
+    ranks than cold ones. Shapes never change — only masks flip."""
+    entries = []
+
+    def collect(tree, imp):
+        for k, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                entries.append((v, imp[k]))
+            elif isinstance(v, dict):
+                collect(v, imp[k])
+
+    collect(lora, importance)
+    if not entries:
+        return lora
+    all_imp = jnp.concatenate([jnp.ravel(i) for _, i in entries])
+    total_budget = budget_per_matrix * sum(
+        int(i.shape[0]) for _, i in entries  # budget per (layer, matrix)
+    )
+    total_budget = min(total_budget, all_imp.shape[0])
+    if total_budget >= all_imp.shape[0]:
+        thresh = -jnp.inf
+    else:
+        thresh = jnp.sort(all_imp)[-total_budget]
+
+    def rebuild(tree, imp):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                mask = (imp[k] >= thresh).astype(v["mask"].dtype)[..., None]
+                out[k] = {**v, "mask": mask}
+            elif isinstance(v, dict):
+                out[k] = rebuild(v, imp[k])
+            else:
+                out[k] = v
+        return out
+
+    return rebuild(lora, importance)
 
 
 def adalora_update_masks(lora: Params, importance: Params, budget: int) -> Params:

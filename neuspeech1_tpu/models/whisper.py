@@ -108,6 +108,22 @@ def conv1d(x, p: Params, stride: int = 1, padding: int = 1):
     ) + b
 
 
+def conv1d_cl(x, p: Params, stride: int = 1, padding: int = 1):
+    """Channels-LAST 1-D conv over [B, T, C] (torch kernel [out, in, k]).
+
+    TPU conv units want channels on the lane dimension; the stem uses this
+    layout end-to-end so the only transpose is the single input one."""
+    w = p["w"].astype(x.dtype).transpose(2, 1, 0)  # [K, I, O]
+    b = p["b"].astype(x.dtype)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + b
+
+
 def _split_heads(x, n_heads: int):
     b, t, d = x.shape
     return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
@@ -205,28 +221,29 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
     then always: gelu(conv2(h)) with s2 (`utils/load_model.py:348,411`).
     Output: [B, T', d_model] with T' == config.max_source_positions.
     """
-    x = features
+    # channels-last throughout: one input transpose, none at the output
+    x = features.transpose(0, 2, 1)  # [B, T, ch]
     sp = params["stem"]
     if stem.kind == "speech":
-        h = jax.nn.gelu(conv1d(x, sp["conv1"], stride=1), approximate=False)
+        h = jax.nn.gelu(conv1d_cl(x, sp["conv1"], stride=1), approximate=False)
     elif stem.kind == "base":
-        h = jax.nn.gelu(conv1d(x, sp["conv_a"], stride=1), approximate=False)
-        h = conv1d(h, sp["conv_b"], stride=2)
+        h = jax.nn.gelu(conv1d_cl(x, sp["conv_a"], stride=1), approximate=False)
+        h = conv1d_cl(h, sp["conv_b"], stride=2)
         h = jax.nn.gelu(h, approximate=False)
     elif stem.kind == "replace":
-        h = jax.nn.gelu(conv1d(x, sp["conv"], stride=2), approximate=False)
+        h = jax.nn.gelu(conv1d_cl(x, sp["conv"], stride=2), approximate=False)
     elif stem.kind == "premel":
         # pre_conv1: ch -> num_mel_bins at stride 2, then whisper's own conv1
-        h = conv1d(x, sp["pre_conv"], stride=2, padding=2)
+        h = conv1d_cl(x, sp["pre_conv"], stride=2, padding=2)
         if stem.dropout > 0:
             # channel dropout is applied by the caller via dropout_rng; the
             # deterministic path is the identity (eval mode)
             pass
-        h = jax.nn.gelu(conv1d(h, sp["conv1"], stride=1), approximate=False)
+        h = jax.nn.gelu(conv1d_cl(h, sp["conv1"], stride=1), approximate=False)
     else:
         raise ValueError(stem.kind)
-    h = jax.nn.gelu(conv1d(h, params["conv2"], stride=2), approximate=False)
-    return h.transpose(0, 2, 1)  # [B, T', d]
+    h = jax.nn.gelu(conv1d_cl(h, params["conv2"], stride=2), approximate=False)
+    return h  # [B, T', d]
 
 
 # --------------------------------------------------------------------------
@@ -468,9 +485,17 @@ def forward(
 
 def ce_loss(logits, labels, ignore_id: int = -100):
     """Token-mean cross entropy with -100 masking (reference
-    `utils/load_model.py:1050-1054`)."""
+    `utils/load_model.py:1050-1054`).
+
+    Computed as logsumexp(logits) - logits[label] so only reductions and a
+    gather touch the [B, T, V] tensor — no f32 log-softmax materialization
+    (at whisper's 51865-wide vocab that intermediate alone is ~850 MB for a
+    bs-64 batch).
+    """
     mask = labels != ignore_id
     safe = jnp.where(mask, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    lg = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)
+    picked = jnp.take_along_axis(lg, safe[..., None], axis=-1)[..., 0]
+    nll = lse - picked
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)

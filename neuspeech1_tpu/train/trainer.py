@@ -256,7 +256,7 @@ class Trainer:
         """AdaLoRA rank-budget update on the host schedule."""
         from neuspeech1_tpu.models.lora import (
             adalora_budget,
-            adalora_update_masks,
+            adalora_update_masks_global,
         )
 
         cfg = self.adalora
@@ -270,7 +270,7 @@ class Trainer:
         )
         lora = self.state.trainable.get("lora")
         if lora and self._imp_ema is not None:
-            new_lora = adalora_update_masks(lora, self._imp_ema, budget)
+            new_lora = adalora_update_masks_global(lora, self._imp_ema, budget)
             import dataclasses
 
             self.state = dataclasses.replace(
