@@ -179,3 +179,27 @@ def test_evaluation_speech_cli(cli_run):
     assert "wer" in m
     assert any(f.endswith("_speech.json")
                for f in os.listdir(f"{out}/speech_eval"))
+
+
+def test_transcriber_int8(cli_run):
+    """Quantized-weights serving path produces strings like the dense one."""
+    import numpy as np
+
+    from neuspeech1_tpu.serve import Transcriber
+
+    corpus, out = cli_run
+    if not os.path.exists(f"{out}/full_model"):
+        from neuspeech1_tpu.cli.merge_lora import main as merge
+
+        merge([f"--lora_model={out}/adapter_final.npz", "--base_model=random",
+               "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE])
+    rng = np.random.default_rng(1)
+    sigs = rng.standard_normal((2, 4, 128)).astype(np.float32)
+    dense = Transcriber(f"{out}/full_model", tokenizer="byte", batch_size=2,
+                        max_new_tokens=6)
+    q8 = Transcriber(f"{out}/full_model", tokenizer="byte", batch_size=2,
+                     max_new_tokens=6, int8_weights=True)
+    td = dense.transcribe(sigs)
+    tq = q8.transcribe(sigs)
+    assert len(td) == len(tq) == 2
+    assert all(isinstance(x, str) for x in tq)
