@@ -209,7 +209,8 @@ def mlp(x, p: Params, lora: Optional[Params] = None):
 # stems: [B, ch, T] -> [B, frames, d]
 # --------------------------------------------------------------------------
 
-def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig):
+def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig,
+               dropout_rng=None):
     """Projection stem + whisper conv2, mirroring the reference geometry.
 
     'speech':  gelu(conv1(mel))          k3 s1  (HF whisper conv1)
@@ -235,10 +236,14 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
     elif stem.kind == "premel":
         # pre_conv1: ch -> num_mel_bins at stride 2, then whisper's own conv1
         h = conv1d_cl(x, sp["pre_conv"], stride=2, padding=2)
-        if stem.dropout > 0:
-            # channel dropout is applied by the caller via dropout_rng; the
-            # deterministic path is the identity (eval mode)
-            pass
+        if stem.dropout > 0 and dropout_rng is not None:
+            # channel dropout (torch Dropout1d semantics: whole feature
+            # channels zeroed; reference `utils/load_model.py:1516-1521`)
+            keep = 1.0 - stem.dropout
+            mask = jax.random.bernoulli(
+                dropout_rng, keep, (h.shape[0], 1, h.shape[2])
+            )
+            h = jnp.where(mask, h / keep, 0.0)
         h = jax.nn.gelu(conv1d_cl(h, sp["conv1"], stride=1), approximate=False)
     else:
         raise ValueError(stem.kind)
@@ -281,7 +286,11 @@ def encoder_apply(
     """
     dtype = jnp.dtype(config.dtype)
     enc = params["encoder"]
-    h = apply_stem(enc, features.astype(dtype), config, stem)
+    stem_rng = None
+    if not deterministic and dropout_rng is not None:
+        dropout_rng, stem_rng = jax.random.split(dropout_rng)
+    h = apply_stem(enc, features.astype(dtype), config, stem,
+                   dropout_rng=stem_rng)
     t = h.shape[1]
     if t != config.max_source_positions:
         raise ValueError(
