@@ -340,7 +340,7 @@ _flash_bh.defvjp(_flash_bh_fwd, _bwd)
 
 import os
 
-DEFAULT_BLOCK_Q = int(os.environ.get("NEUSPEECH_FLASH_BLOCK_Q", "256"))
+DEFAULT_BLOCK_Q = int(os.environ.get("NEUSPEECH_FLASH_BLOCK_Q", "512"))
 
 
 def flash_attention(q, k, v, causal: bool = False,
