@@ -125,62 +125,65 @@ def _fwd(q, k, v, scale, causal, block_q):
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                 scale, t_q, t_kv, block_q, causal, n_q_blocks):
+    """Grid (BH, n_q_blocks): q/o/do blocks are pipelined by Pallas (double
+    buffered) while K/V stay VMEM-resident (grid-invariant index); dK/dV
+    accumulate in f32 scratch that persists across the q-block grid steps
+    and are written out on the final block."""
+    qb = pl.program_id(1)
     k = k_ref[0]
     v = v_ref[0]
 
-    dk_acc[...] = jnp.zeros_like(dk_acc)
-    dv_acc[...] = jnp.zeros_like(dv_acc)
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    def body(qb, _):
-        sl = pl.ds(qb * block_q, block_q)
-        q = q_ref[0, sl]          # [BQ, D]
-        o = o_ref[0, sl]
-        do = do_ref[0, sl]
-        lse = lse_ref[0, 0, sl]   # [BQ] (sublane-replicated storage)
+    q = q_ref[0]              # [BQ, D]
+    o = o_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]       # [BQ] (sublane-replicated storage)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, Tk_pad]
-        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = kv_idx < t_kv
-        if causal:
-            q_idx = qb * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 0
-            )
-            mask = mask & (kv_idx <= q_idx)
-        s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])  # [BQ, Tk_pad] f32
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, Tk_pad]
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = kv_idx < t_kv
+    if causal:
+        q_idx = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        mask = mask & (kv_idx <= q_idx)
+    s = jnp.where(mask, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])  # [BQ, Tk_pad] f32
 
-        do_f = do.astype(jnp.float32)
-        o_f = o.astype(jnp.float32)
-        # dV += P^T dO
-        dv_acc[...] += jax.lax.dot_general(
-            p, do_f, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dP = dO V^T ; dS = P * (dP - rowsum(dO*O)) * scale
-        dp = jax.lax.dot_general(
-            do_f, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta = jnp.sum(do_f * o_f, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale  # [BQ, Tk_pad]
-        # dQ = dS K
-        dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dq_ref[0, sl] = dq.astype(dq_ref.dtype)
-        # dK += dS^T Q
-        dk_acc[...] += jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return 0
+    do_f = do.astype(jnp.float32)
+    o_f = o.astype(jnp.float32)
+    # dV += P^T dO
+    dv_acc[...] += jax.lax.dot_general(
+        p, do_f, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP = dO V^T ; dS = P * (dP - rowsum(dO*O)) * scale
+    dp = jax.lax.dot_general(
+        do_f, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(do_f * o_f, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale  # [BQ, Tk_pad]
+    # dQ = dS K
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    # dK += dS^T Q
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    lax.fori_loop(0, n_q_blocks, body, 0)
-    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+    @pl.when(qb == n_q_blocks - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd_arrays(qp, kp, vp, op, dop, lsep, scale, causal, block_q, t_q, t_kv):
@@ -193,27 +196,27 @@ def _bwd_arrays(qp, kp, vp, op, dop, lsep, scale, causal, block_q, t_q, t_kv):
             _bwd_kernel, scale=scale, t_q=t_q, t_kv=t_kv, block_q=block_q,
             causal=causal, n_q_blocks=n_q_blocks,
         ),
-        grid=(bh,),
+        grid=(bh, n_q_blocks),
         in_specs=[
-            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tq_pad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tq_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
