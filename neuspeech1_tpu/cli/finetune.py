@@ -178,6 +178,7 @@ def main(argv=None):
     collator = Collator(
         pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
         max_label_len=args.label_max_length,
+        feature_dtype="bfloat16" if args.bf16 else "float32",
     )
     mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
 

@@ -28,12 +28,22 @@ class Collator:
         max_label_len: Optional[int] = None,
         pad_to_multiple: int = 8,
         strip_sot: bool = True,
+        feature_dtype: str = "float32",
     ):
         self.pad_id = pad_id
         self.decoder_start_id = decoder_start_id
         self.max_label_len = max_label_len
         self.pad_to_multiple = pad_to_multiple
         self.strip_sot = strip_sot
+        # 'bfloat16' halves host->HBM transfer bytes for the signal tensor
+        # (the model casts to bf16 on-device anyway); numpy handles the type
+        # via ml_dtypes (shipped with jax)
+        if feature_dtype == "bfloat16":
+            import ml_dtypes
+
+            self.feature_dtype = ml_dtypes.bfloat16
+        else:
+            self.feature_dtype = np.float32
 
     def _target_len(self, lens: Sequence[int]) -> int:
         if self.max_label_len is not None:
@@ -43,7 +53,9 @@ class Collator:
         return -(-m // p) * p
 
     def __call__(self, samples: List[dict]) -> dict:
-        feats = np.stack([s["input_features"] for s in samples]).astype(np.float32)
+        feats = np.stack([s["input_features"] for s in samples]).astype(
+            self.feature_dtype
+        )
         label_lists = []
         for s in samples:
             lab = list(s["labels"])
