@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
             "materialize adapter deltas into weights once per step "
             "(measured 14% faster than per-token low-rank matmuls)")
     add_arg("num_workers", int, 4, "loader threads")
+    add_arg("device_cache", str, "auto",
+            "stage the whole train set in HBM and sample on-device: "
+            "auto|on|off (auto = when it fits the budget and no per-item "
+            "signal transforms are active; noise/mask/taylor still run "
+            "on-device inside the train step)")
+    add_arg("device_cache_budget_mb", int, 4096,
+            "HBM budget for --device_cache=auto")
     add_arg("native_loader", str, "auto",
             "C++ batch signal loader: auto|on|off (auto = use when no "
             "per-item augmentation and the toolchain builds)")
@@ -152,6 +159,14 @@ def main(argv=None):
     if args.augment_config_path:
         with open(args.augment_config_path) as f:
             augment_config = json.load(f)
+    # split augmentation: shift needs per-item CPU (transcript realignment);
+    # noise/mask/taylor run on-device inside the jitted train step
+    cpu_augment = None
+    device_augment = None
+    if augment_config:
+        cpu_augment = {k: v for k, v in augment_config.items() if k == "shift"}
+        device_augment = {k: v for k, v in augment_config.items()
+                          if k in ("noise", "mask", "taylor")} or None
 
     # ---- datasets / loaders -----------------------------------------
     def make_ds(path, mode):
@@ -167,7 +182,8 @@ def main(argv=None):
             min_duration=args.min_audio_len, max_duration=args.max_audio_len,
             combine_sentences=args.combine_sentences,
             split_sentences=args.split_sentences, subj=args.subj,
-            augment_config=augment_config, seed=args.seed,
+            augment_config=cpu_augment if mode == "train" else None,
+            seed=args.seed,
         )
 
     train_ds = make_ds(args.train_data, "train")
@@ -197,13 +213,42 @@ def main(argv=None):
                                "failed to build")
         return ok
 
-    train_loader = DataLoader(
-        train_ds, collator, args.per_device_train_batch_size, shuffle=True,
-        seed=args.seed, num_threads=args.num_workers, prefetch=2,
-        device_put=True, sharding=batch_sharding(mesh),
-        process_index=jax.process_index(), process_count=jax.process_count(),
-        native_signals=use_native(train_ds),
-    )
+    def corpus_bytes(ds) -> int:
+        # bf16 features dominate
+        return len(ds) * args.eeg_ch * int(args.max_audio_len * 200) * 2
+
+    use_cache = False
+    if args.modal == "eeg" and args.device_cache != "off":
+        eligible = (
+            not (cpu_augment and cpu_augment.get("shift", {}).get("prob", 0))
+            and not args.combine_sentences and not args.split_sentences
+            and jax.process_count() == 1
+        )
+        fits = corpus_bytes(train_ds) <= args.device_cache_budget_mb * 2**20
+        if args.device_cache == "on":
+            if not eligible:
+                raise ValueError("--device_cache=on needs per-item signal "
+                                 "transforms off (shift/combine/split)")
+            use_cache = True
+        else:
+            use_cache = eligible and fits
+
+    if use_cache:
+        from neuspeech1_tpu.data.device_cache import DeviceCache
+
+        print(f"[finetune] staging {len(train_ds)} clips "
+              f"(~{corpus_bytes(train_ds)/2**20:.0f} MB) into HBM", flush=True)
+        cache = DeviceCache.build(train_ds, collator)
+        train_loader = cache.loader(args.per_device_train_batch_size,
+                                    seed=args.seed)
+    else:
+        train_loader = DataLoader(
+            train_ds, collator, args.per_device_train_batch_size, shuffle=True,
+            seed=args.seed, num_threads=args.num_workers, prefetch=2,
+            device_put=True, sharding=batch_sharding(mesh),
+            process_index=jax.process_index(), process_count=jax.process_count(),
+            native_signals=use_native(train_ds),
+        )
     val_loader = (
         DataLoader(val_ds, collator, args.per_device_eval_batch_size,
                    shuffle=False, drop_last=False,
@@ -290,6 +335,7 @@ def main(argv=None):
         orth_reg_weight=args.orth_reg_weight if (lora is not None and args.use_adalora) else 0.0,
         adalora=adalora_cfg, tensorboard=True,
         fold_lora=args.fold_lora_in_step,
+        augment_config=device_augment,
         generate_eval_tokenizer=tokenizer if args.eval_wer else None,
         generate_eval_language=args.language,
     )

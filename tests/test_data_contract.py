@@ -285,3 +285,28 @@ def test_shift_augmentation_realigns_words(tiny_corpus, tiny_tok):
     n0 = int(round(dt * 200))
     if n0 > 0:
         np.testing.assert_array_equal(sig1[:, :n0], 0.0)
+
+
+def test_device_cache_sampler(tiny_corpus, tiny_tok):
+    """Device-resident dataset: staged once, batches gathered on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuspeech1_tpu.data.device_cache import DeviceCache
+
+    root, _ = tiny_corpus
+    ds = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="eval", modal_ch=8)
+    col = Collator(pad_id=tiny_tok.pad_id,
+                   decoder_start_id=tiny_tok.config.sot_id, max_label_len=32)
+    cache = DeviceCache.build(ds, col, feature_dtype=jnp.float32)
+    assert cache.n == len(ds)
+    sample = cache.make_sampler(4)
+    b = sample(jax.random.key(0))
+    assert b["input_features"].shape == (4, 8, ds.n_samples)
+    assert b["labels"].shape == (4, 32)
+    # epoch iterator covers every element exactly once
+    seen = []
+    for batch in cache.epoch_batches(jax.random.key(1), batch_size=4):
+        assert batch["decoder_input_ids"].shape == (4, 32)
+        seen.append(np.asarray(batch["labels"]))
+    assert len(seen) == cache.n // 4
