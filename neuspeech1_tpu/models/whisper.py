@@ -506,5 +506,7 @@ def ce_loss(logits, labels, ignore_id: int = -100):
     lg = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(lg, axis=-1)
     picked = jnp.take_along_axis(lg, safe[..., None], axis=-1)[..., 0]
-    nll = lse - picked
+    # true nll >= 0; the clamp removes f32 summation noise (~1e-4) visible
+    # once a model memorizes its data
+    nll = jnp.maximum(lse - picked, 0.0)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
