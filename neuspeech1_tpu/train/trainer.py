@@ -215,12 +215,17 @@ class Trainer:
                         self._adalora_update(step_num)
 
                 if step_num % self.logging_steps == 0:
+                    # fetch loss FIRST: it synchronizes all queued steps so
+                    # the wall clock reflects real work (async dispatch would
+                    # otherwise wildly inflate samples/sec)
+                    loss_val = float(metrics["loss"])
+                    grad_val = float(metrics["grad_norm"])
                     dt = time.perf_counter() - t_last
                     self.log(
                         {
                             "step": step_num,
-                            "loss": float(metrics["loss"]),
-                            "grad_norm": float(metrics["grad_norm"]),
+                            "loss": loss_val,
+                            "grad_norm": grad_val,
                             "samples_per_sec": samples_since / max(dt, 1e-9),
                             "epoch": epoch,
                         }
