@@ -124,6 +124,7 @@ def main(argv=None):
     collator = Collator(
         pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
         max_label_len=min(128, config.max_target_positions),
+        eot_id=config.eot_id,
     )
     from neuspeech1_tpu.data.native_loader import native_available
 

@@ -125,6 +125,12 @@ def main(argv=None):
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)
+    # Multi-host bring-up must precede EVERY other jax touchpoint (including
+    # the compilation cache, which initializes the backend).
+    from neuspeech1_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(args.coordinator)
+
     from neuspeech1_tpu import enable_compilation_cache
 
     enable_compilation_cache()
@@ -138,15 +144,12 @@ def main(argv=None):
     from neuspeech1_tpu.data.loader import DataLoader
     from neuspeech1_tpu.models.lora import init_lora, merge_lora
     from neuspeech1_tpu.models.init import init_stem
-    from neuspeech1_tpu.parallel.mesh import (
-        batch_sharding, initialize_distributed, make_mesh,
-    )
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
     from neuspeech1_tpu.parallel.sharding import shard_params
     from neuspeech1_tpu.train import optimizer as opt
     from neuspeech1_tpu.train import trainstep as ts
     from neuspeech1_tpu.train.trainer import Trainer
 
-    initialize_distributed(args.coordinator)
     config = common.parse_config_overrides(args)
     if args.modal == "speech":
         stem = StemConfig("speech")
@@ -195,6 +198,7 @@ def main(argv=None):
         pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
         max_label_len=args.label_max_length,
         feature_dtype="bfloat16" if args.bf16 else "float32",
+        eot_id=config.eot_id,
     )
     mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
 

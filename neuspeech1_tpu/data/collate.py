@@ -29,12 +29,16 @@ class Collator:
         pad_to_multiple: int = 8,
         strip_sot: bool = True,
         feature_dtype: str = "float32",
+        eot_id: Optional[int] = None,
     ):
         self.pad_id = pad_id
         self.decoder_start_id = decoder_start_id
         self.max_label_len = max_label_len
         self.pad_to_multiple = pad_to_multiple
         self.strip_sot = strip_sot
+        self.eot_id = eot_id
+        self.n_truncated = 0  # visible counter: silent truncation skews WER
+        self._warned_truncation = False
         # 'bfloat16' halves host->HBM transfer bytes for the signal tensor
         # (the model casts to bf16 on-device anyway); numpy handles the type
         # via ml_dtypes (shipped with jax)
@@ -66,7 +70,21 @@ class Collator:
         b = len(samples)
         labels = np.full((b, tlen), LABEL_IGNORE_ID, dtype=np.int32)
         for i, lab in enumerate(label_lists):
-            lab = lab[:tlen]
+            if len(lab) > tlen:
+                # keep the trailing <|endoftext|> so truncated samples still
+                # carry EOS supervision (byte-tokenized 30 s sentences exceed
+                # default buckets easily)
+                eot = self.eot_id if self.eot_id is not None else lab[-1]
+                lab = lab[: tlen - 1] + [eot]
+                self.n_truncated += 1
+                if not self._warned_truncation:
+                    self._warned_truncation = True
+                    import warnings
+
+                    warnings.warn(
+                        f"label longer than max_label_len={tlen} truncated "
+                        "(EOS kept); count in Collator.n_truncated"
+                    )
             labels[i, : len(lab)] = lab
         # decoder input = [start] + labels[:-1], with ignore -> pad
         dec_in = np.full((b, tlen), self.pad_id, dtype=np.int32)

@@ -35,14 +35,20 @@ DEFAULT_TARGETS = ("q", "k", "v", "out", "fc1", "fc2")
 
 
 def lora_delta(x, entry: Params):
-    """Low-rank delta for one adapted linear; dispatches LoRA vs AdaLoRA."""
+    """Low-rank delta for one adapted linear; dispatches LoRA vs AdaLoRA.
+
+    `alpha` (scaling) and `mask` (AdaLoRA rank gate) are hyper-parameters,
+    not weights — PEFT never trains them. stop_gradient keeps AdamW from
+    drifting them even though they ride in the trainable partition (their
+    gradients are exactly zero, so the update is exactly zero)."""
     a = entry["A"].astype(x.dtype)
     b = entry["B"].astype(x.dtype)
     h = jnp.dot(x, a)
     if "E" in entry:
-        lam = (entry["E"] * entry["mask"]).astype(x.dtype)  # [r, 1]
+        gate = jax.lax.stop_gradient(entry["mask"])
+        lam = (entry["E"] * gate).astype(x.dtype)  # [r, 1]
         h = h * lam[..., 0]
-    scale = entry["alpha"].astype(x.dtype) / a.shape[-1]
+    scale = jax.lax.stop_gradient(entry["alpha"]).astype(x.dtype) / a.shape[-1]
     return jnp.dot(h, b) * scale
 
 
@@ -124,8 +130,9 @@ def merge_lora(params: Params, lora: Params) -> Params:
             if isinstance(entry, dict) and "A" in entry:
                 a, b = entry["A"], entry["B"]
                 if "E" in entry:
-                    a = a * (entry["E"] * entry["mask"]).transpose(0, 2, 1)
-                scale = entry["alpha"] / a.shape[-1]
+                    gate = jax.lax.stop_gradient(entry["mask"])
+                    a = a * (entry["E"] * gate).transpose(0, 2, 1)
+                scale = jax.lax.stop_gradient(entry["alpha"]) / a.shape[-1]
                 delta = jnp.einsum("lir,lro->lio", a, b) * scale
                 dst[name] = dict(dst[name])
                 dst[name]["w"] = dst[name]["w"] + delta.astype(dst[name]["w"].dtype)

@@ -54,9 +54,27 @@ def local_mesh_info(mesh: Mesh) -> dict:
     }
 
 
-def initialize_distributed(coordinator: Optional[str] = None) -> None:
-    """Multi-host bring-up (DCN): call once per process before building the
-    mesh; a no-op single-host."""
-    if jax.process_count() > 1 or coordinator is None:
+_distributed_initialized = False
+
+
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (DCN): call once per process, BEFORE any other
+    jax use (including the compilation cache); a no-op without a coordinator.
+
+    Decides purely from the argument — `jax.process_count()` would itself
+    initialize the XLA backend and make `jax.distributed.initialize` raise,
+    so jax state must not be touched here. Re-entry is guarded by a module
+    flag instead."""
+    global _distributed_initialized
+    if coordinator is None or _distributed_initialized:
         return
-    jax.distributed.initialize(coordinator_address=coordinator)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _distributed_initialized = True

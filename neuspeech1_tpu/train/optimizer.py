@@ -71,6 +71,20 @@ def combine_params(train: Params, frozen: Params) -> Params:
     )
 
 
+# Leaves that are hyper-parameters or norm/bias terms — never weight-decayed
+# (HF Trainer excludes bias/LayerNorm by default; LoRA 'alpha'/'mask' are not
+# weights at all and must not decay even though they sit in the trainable
+# partition — see models/lora.py::lora_delta stop_gradient note).
+_NO_DECAY_LEAVES = {"b", "bias", "scale", "alpha", "mask"}
+
+
+def weight_decay_mask(params: Params) -> Params:
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: path_of(kp).rsplit("/", 1)[-1] not in _NO_DECAY_LEAVES,
+        params,
+    )
+
+
 def warmup_linear_schedule(
     peak_lr: float, warmup_steps: int, total_steps: int
 ) -> optax.Schedule:
@@ -107,7 +121,12 @@ def make_optimizer(
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay))
+    chain.append(
+        optax.adamw(
+            sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            mask=weight_decay_mask if weight_decay else None,
+        )
+    )
     tx = optax.chain(*chain)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)

@@ -93,7 +93,9 @@ class Trainer:
                 )
             except Exception:
                 self._tb = None
-        self._imp_ema = None  # AdaLoRA sensitivity EMA (PEFT beta=0.85)
+        self._imp_ema = None  # AdaLoRA sensitivity EMA (PEFT beta1=0.85)
+        self._last_eval_loss: Optional[float] = None
+        self._eval_batch_size: Optional[int] = None
         self._gen_tok = generate_eval_tokenizer
         self._gen_max_new = generate_eval_max_new
         self._gen_lang = generate_eval_language
@@ -121,11 +123,33 @@ class Trainer:
         print(f"[train] {msg}", flush=True)
 
     # ------------------------------------------------------------------
+    def _pad_batch(self, batch):
+        """Pad a partial final batch up to the loader batch size so the
+        jitted eval/decode programs see ONE static shape (a fresh compile
+        costs minutes through the remote-compile tunnel). Padded label rows
+        are all -100 so they contribute zero tokens to masked losses.
+        Returns (batch, true_rows)."""
+        bsz = next(iter(batch.values())).shape[0]
+        if self._eval_batch_size is None:
+            self._eval_batch_size = bsz
+        want = self._eval_batch_size
+        if bsz >= want:
+            return batch, bsz
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            pad = np.repeat(v[-1:], want - bsz, axis=0)
+            if k == "labels":
+                pad = np.full_like(pad, -100)
+            out[k] = np.concatenate([v, pad], axis=0)
+        return out, bsz
+
     def evaluate(self) -> float:
         if self.eval_loader is None:
             return float("nan")
         total, n = 0.0, 0
         for batch in self.eval_loader:
+            batch, _ = self._pad_batch(batch)
             batch = self._prep(batch)
             out = self.eval_step(self.state.trainable, self.frozen, batch)
             toks = int(out["n_tokens"])
@@ -157,13 +181,14 @@ class Trainer:
         )
         preds, refs = [], []
         for batch in self.eval_loader:
+            batch, true_rows = self._pad_batch(batch)
             feats = np.asarray(batch["input_features"])
-            labels = np.asarray(batch["labels"])
+            labels = np.asarray(batch["labels"])[:true_rows]
             bp = np.repeat(prompt, feats.shape[0], axis=0)
             out = np.asarray(greedy_decode(
                 params, jnp.asarray(feats), bp, self.config, self.stem, gen,
                 lora=lora,
-            ))
+            ))[:true_rows]
             preds.extend(tok.batch_decode(out))
             refs.extend(tok.decode(l) for l in labels)
         m = compute_battery(preds, refs, include_cer=False)
@@ -234,17 +259,29 @@ class Trainer:
                     samples_since = 0
 
                 if self.eval_loader is not None and step_num % self.eval_steps == 0:
-                    eval_loss = self.evaluate()
-                    rec = {"step": step_num, "eval_loss": eval_loss}
+                    self._last_eval_loss = self.evaluate()
+                    rec = {"step": step_num, "eval_loss": self._last_eval_loss}
                     rec.update(self.evaluate_generate())
                     self.log(rec)
-                    if step_num % self.save_steps == 0:
-                        saved = self.ckpt.save(self.state, eval_loss=eval_loss)
+
+                # save schedule is independent of the eval schedule (HF
+                # Trainer saves at every save_steps; gating uses the most
+                # recent eval_loss — ADVICE r1: save_steps=500/eval_steps=1000
+                # must not silently skip the 500-boundary saves)
+                if step_num % self.save_steps == 0:
+                    if self.eval_loader is not None:
+                        if self._last_eval_loss is None:
+                            # no eval has run yet this session: measure one
+                            # so best-gating has a real number to gate on
+                            self._last_eval_loss = self.evaluate()
+                        saved = self.ckpt.save(
+                            self.state, eval_loss=self._last_eval_loss
+                        )
                         if saved:
                             self.log({"step": step_num, "saved": 1,
                                       "best_eval": self.ckpt.best_eval})
-                elif step_num % self.save_steps == 0 and self.eval_loader is None:
-                    self.ckpt.save(self.state, force=True)
+                    else:
+                        self.ckpt.save(self.state, force=True)
 
                 if self.max_steps is not None and step_num >= self.max_steps:
                     done = True
