@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("noise", bool, False, "replace inputs with noise (ablation)")
     add_arg("random_choice", bool, False, "random-label baseline")
     add_arg("sequence_bias", bool, False, "train-set keyword bias")
+    add_arg("bias_extract_type", str, "phrase_word",
+            "sequence-bias entries: word|phrase|phrase_word")
     add_arg("train_data", str, None, "train jsonl (for --sequence_bias)")
     add_arg("bias_weight", float, -1.0, "sequence bias value")
     add_arg("post_processing", bool, False, "ascii+lowercase post-processing")
@@ -138,7 +140,8 @@ def main(argv=None):
         from neuspeech1_tpu.decode.sequence_bias import build_sequence_bias
 
         bias_spec = build_sequence_bias(
-            args.train_data, tokenizer, bias=args.bias_weight
+            args.train_data, tokenizer, bias=args.bias_weight,
+            extract_type=args.bias_extract_type,
         )
 
     prompt = np.asarray(

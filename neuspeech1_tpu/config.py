@@ -82,8 +82,13 @@ class WhisperConfig:
     dtype: str = "bfloat16"        # activation/compute dtype on TPU
     param_dtype: str = "float32"   # master parameter dtype
     remat: bool = False            # jax.checkpoint each transformer layer
-    remat_policy: str = "full"     # 'full' | 'dots' | 'attn' (save attn outs)
+    # 'full' (recompute all) | 'flash' (save flash kernel o+lse) |
+    # 'flash_qkv' | 'everything' (no recompute) | 'dots' | 'attn'
+    remat_policy: str = "full"
     flash_attention: str = "auto"  # 'auto'|'on'|'off' — Pallas flash kernel
+    # flash pays off only for long query blocks; the training decoder
+    # (teacher forcing, T≈64) is faster on the XLA path
+    decoder_flash_min_q: int = 256
 
     @property
     def timestamp_begin(self) -> int:

@@ -45,8 +45,10 @@ def lora_delta(x, entry: Params):
     b = entry["B"].astype(x.dtype)
     h = jnp.dot(x, a)
     if "E" in entry:
-        gate = jax.lax.stop_gradient(entry["mask"])
-        lam = (entry["E"] * gate).astype(x.dtype)  # [r, 1]
+        # PEFT semantics: rank pruning zeroes lora_E at allocation time
+        # (adalora_mask_to_budget); the forward does NOT gate on `mask`, so
+        # pruned ranks keep receiving gradients and can revive.
+        lam = entry["E"].astype(x.dtype)  # [r, 1]
         h = h * lam[..., 0]
     scale = jax.lax.stop_gradient(entry["alpha"]).astype(x.dtype) / a.shape[-1]
     return jnp.dot(h, b) * scale
@@ -130,8 +132,8 @@ def merge_lora(params: Params, lora: Params) -> Params:
             if isinstance(entry, dict) and "A" in entry:
                 a, b = entry["A"], entry["B"]
                 if "E" in entry:
-                    gate = jax.lax.stop_gradient(entry["mask"])
-                    a = a * (entry["E"] * gate).transpose(0, 2, 1)
+                    # E already holds zeros at pruned ranks (PEFT semantics)
+                    a = a * entry["E"].transpose(0, 2, 1)
                 scale = jax.lax.stop_gradient(entry["alpha"]) / a.shape[-1]
                 delta = jnp.einsum("lir,lro->lio", a, b) * scale
                 dst[name] = dict(dst[name])
@@ -153,28 +155,172 @@ def merge_lora(params: Params, lora: Params) -> Params:
 
 # ----------------------------------------------------------------------
 # AdaLoRA rank allocation (importance-based budget decay)
+#
+# Faithful to PEFT's RankAllocator (peft/tuners/adalora/model.py):
+#   * TWO elementwise EMAs per A/B/E tensor — sensitivity |θ·g| smoothed
+#     with beta1 and an uncertainty EMA of |ipt − avg| with beta2;
+#   * element score = avg · unc, reduced per rank AFTER smoothing
+#     (mean over A's input dim, mean over B's output dim, E elementwise);
+#   * triplet score = s(E) + mean(A) + mean(B);
+#   * allocation zeroes lora_E at pruned ranks (masked_fill) — the forward
+#     does NOT gate on the mask, so pruned ranks keep receiving gradients
+#     and can revive at a later allocation, exactly like PEFT.
+# `mask` remains in the tree as the current 0/1 rank pattern (bookkeeping
+# + tests); it never enters the forward computation.
 # ----------------------------------------------------------------------
 
-def adalora_importance(lora: Params, grads: Params) -> Params:
-    """Per-rank sensitivity |θ·∂L/∂θ| aggregated over A, B, E for each
-    adapted matrix — the PEFT/paper importance score."""
-    def entry_imp(entry, gentry):
-        sa = jnp.abs(entry["A"] * gentry["A"]).mean(axis=1)          # [L, r]
-        sb = jnp.abs(entry["B"] * gentry["B"]).mean(axis=2)          # [L, r]
-        se = jnp.abs(entry["E"] * gentry["E"])[..., 0]               # [L, r]
-        return sa + sb + se
+def adalora_ipt_init(lora: Params) -> Params:
+    """Zeroed {avg, unc} EMA trees over the A/B/E leaves of AdaLoRA
+    entries (PEFT exp_avg_ipt / exp_avg_unc)."""
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                if "E" in v:
+                    out[k] = {n: jnp.zeros_like(v[n]) for n in ("A", "B", "E")}
+            elif isinstance(v, dict):
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
 
-    return _map_entries(lora, grads, entry_imp)
+    zeros = walk(lora)
+    if not zeros:
+        return {}
+    # distinct buffers for avg and unc — aliased leaves would break jit
+    # donation ("attempt to donate the same buffer twice")
+    unc = jax.tree_util.tree_map(jnp.zeros_like, zeros)
+    return {"avg": zeros, "unc": unc}
 
 
-def _map_entries(lora, other, fn):
-    out = {}
-    for k, v in lora.items():
-        if isinstance(v, dict) and "A" in v:
-            out[k] = fn(v, other[k])
-        elif isinstance(v, dict):
-            out[k] = _map_entries(v, other[k], fn)
-    return out
+def adalora_ipt_update(
+    ipt_state: Params,
+    lora: Params,
+    grads: Params,
+    beta1: float = 0.85,
+    beta2: float = 0.85,
+) -> Params:
+    """One PEFT `update_ipt` step: ipt = |θ·g|; avg ← β₁avg + (1−β₁)ipt;
+    unc ← β₂unc + (1−β₂)|ipt − avg_new| (uses the UPDATED avg, matching the
+    in-place order in PEFT)."""
+    def upd(avg_tree, unc_tree, lora_tree, grad_tree):
+        new_avg, new_unc = {}, {}
+        for k, v in avg_tree.items():
+            if isinstance(v, dict) and "A" in v:
+                na, nu = {}, {}
+                for n in ("A", "B", "E"):
+                    ipt = jnp.abs(lora_tree[k][n] * grad_tree[k][n])
+                    a = beta1 * v[n] + (1 - beta1) * ipt
+                    na[n] = a
+                    nu[n] = beta2 * unc_tree[k][n] + (1 - beta2) * jnp.abs(ipt - a)
+                new_avg[k], new_unc[k] = na, nu
+            else:
+                new_avg[k], new_unc[k] = upd(
+                    v, unc_tree[k], lora_tree[k], grad_tree[k]
+                )
+        return new_avg, new_unc
+
+    avg, unc = upd(ipt_state["avg"], ipt_state["unc"], lora, grads)
+    return {"avg": avg, "unc": unc}
+
+
+def adalora_triplet_scores(ipt_state: Params) -> Params:
+    """Per-rank triplet importance [L, r] per adapted matrix:
+    s(E) + mean_in(s(A)) + mean_out(s(B)) with s = avg·unc
+    (PEFT `_element_score` + `_combine_ipt`)."""
+    def walk(avg_tree, unc_tree):
+        out = {}
+        for k, v in avg_tree.items():
+            if isinstance(v, dict) and "A" in v:
+                u = unc_tree[k]
+                sa = (v["A"] * u["A"]).mean(axis=1)        # [L, r]
+                sb = (v["B"] * u["B"]).mean(axis=2)        # [L, r]
+                se = (v["E"] * u["E"])[..., 0]             # [L, r]
+                out[k] = se + sa + sb
+            else:
+                out[k] = walk(v, unc_tree[k])
+        return out
+
+    return walk(ipt_state["avg"], ipt_state["unc"])
+
+
+def adalora_total_ranks(lora: Params) -> int:
+    """init_bgt in PEFT terms: one budget unit per (layer, matrix, rank)."""
+    total = 0
+
+    def walk(tree):
+        nonlocal total
+        for v in tree.values():
+            if isinstance(v, dict) and "A" in v:
+                if "E" in v:
+                    total += int(v["E"].shape[0] * v["E"].shape[1])
+            elif isinstance(v, dict):
+                walk(v)
+
+    walk(lora)
+    return total
+
+
+def adalora_budget_schedule(
+    step: int, init_bgt: int, target_bgt: int, tinit: int, tfinal: int,
+    total_steps: int, deltaT: int,
+) -> Tuple[int, bool]:
+    """(budget, mask_ind) — exact PEFT `budget_schedule` in total-rank
+    units (cubic decay computed on budgets, not per-matrix ranks)."""
+    if step <= tinit:
+        return init_bgt, False
+    if step > total_steps - tfinal:
+        return target_bgt, True
+    mul = 1 - (step - tinit) / (total_steps - tfinal - tinit)
+    budget = int((init_bgt - target_bgt) * mul**3 + target_bgt)
+    return budget, (step % deltaT == 0)
+
+
+def adalora_mask_to_budget(
+    lora: Params, scores: Params, budget: int, init_bgt: Optional[int] = None
+) -> Params:
+    """PEFT `mask_to_budget`: global threshold = k-th smallest triplet score
+    with k = init_bgt − budget; E is zeroed where score <= threshold and
+    `mask` records the surviving rank pattern."""
+    if init_bgt is None:
+        init_bgt = adalora_total_ranks(lora)
+    k = init_bgt - budget
+    entries: List[Tuple[Params, Any]] = []
+
+    def collect(tree, sc):
+        for key, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                if "E" in v:
+                    entries.append((v, sc[key]))
+            elif isinstance(v, dict):
+                collect(v, sc[key])
+
+    collect(lora, scores)
+    if not entries or k <= 0:
+        return lora
+    all_scores = jnp.concatenate([jnp.ravel(s) for _, s in entries])
+    thresh = jnp.sort(all_scores)[k - 1]  # k-th smallest (torch.kthvalue)
+
+    def rebuild(tree, sc):
+        out = {}
+        for key, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                if "E" not in v:
+                    out[key] = v
+                    continue
+                keep = (sc[key] > thresh)[..., None]       # [L, r, 1]
+                out[key] = {
+                    **v,
+                    "E": jnp.where(keep, v["E"], 0.0),
+                    "mask": keep.astype(v["mask"].dtype),
+                }
+            elif isinstance(v, dict):
+                out[key] = rebuild(v, sc[key])
+            else:
+                out[key] = v
+        return out
+
+    return rebuild(lora, scores)
 
 
 def adalora_budget(step: int, init_r: int, target_r: int, tinit: int,
@@ -195,69 +341,23 @@ def adalora_budget(step: int, init_r: int, target_r: int, tinit: int,
 def adalora_update_masks_global(
     lora: Params, importance: Params, budget_per_matrix: int
 ) -> Params:
-    """PEFT-faithful GLOBAL rank allocation: the budget is pooled across all
-    adapted matrices and the globally most important ranks keep their masks
-    (PEFT `RankAllocator.mask_to_budget`), so hot matrices can hold more
-    ranks than cold ones. Shapes never change — only masks flip."""
-    entries = []
+    """Global rank allocation from per-rank [L, r] importance trees —
+    thin wrapper over `adalora_mask_to_budget` (the budget is pooled across
+    all adapted matrices; hot matrices hold more ranks than cold ones)."""
+    n_rows = 0
 
-    def collect(tree, imp):
-        for k, v in tree.items():
+    def count(tree):
+        nonlocal n_rows
+        for v in tree.values():
             if isinstance(v, dict) and "A" in v:
-                entries.append((v, imp[k]))
+                if "E" in v:
+                    n_rows += int(v["E"].shape[0])
             elif isinstance(v, dict):
-                collect(v, imp[k])
+                count(v)
 
-    collect(lora, importance)
-    if not entries:
-        return lora
-    all_imp = jnp.concatenate([jnp.ravel(i) for _, i in entries])
-    total_budget = budget_per_matrix * sum(
-        int(i.shape[0]) for _, i in entries  # budget per (layer, matrix)
-    )
-    total_budget = min(total_budget, all_imp.shape[0])
-    if total_budget >= all_imp.shape[0]:
-        thresh = -jnp.inf
-    else:
-        thresh = jnp.sort(all_imp)[-total_budget]
-
-    def rebuild(tree, imp):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict) and "A" in v:
-                mask = (imp[k] >= thresh).astype(v["mask"].dtype)[..., None]
-                out[k] = {**v, "mask": mask}
-            elif isinstance(v, dict):
-                out[k] = rebuild(v, imp[k])
-            else:
-                out[k] = v
-        return out
-
-    return rebuild(lora, importance)
-
-
-def adalora_update_masks(lora: Params, importance: Params, budget: int) -> Params:
-    """Keep the top-`budget` ranks per adapted matrix (per layer), zero the
-    rest via the mask — shapes never change, so no recompilation."""
-    def upd(entry, imp):
-        # imp: [L, r]; top-budget per row
-        r = entry["mask"].shape[1]
-        if budget >= r:
-            mask = jnp.ones_like(entry["mask"])
-        else:
-            thresh = jnp.sort(imp, axis=1)[:, -budget][:, None]  # [L, 1]
-            mask = (imp >= thresh).astype(entry["mask"].dtype)[..., None]
-        return {**entry, "mask": mask}
-
-    out = {}
-    for k, v in lora.items():
-        if isinstance(v, dict) and "A" in v:
-            out[k] = upd(v, importance[k])
-        elif isinstance(v, dict):
-            out[k] = adalora_update_masks(v, importance[k], budget)
-        else:
-            out[k] = v
-    return out
+    count(lora)
+    budget = budget_per_matrix * n_rows
+    return adalora_mask_to_budget(lora, importance, budget)
 
 
 def adalora_orth_loss(lora: Params) -> jnp.ndarray:

@@ -108,16 +108,40 @@ def conv1d(x, p: Params, stride: int = 1, padding: int = 1):
     ) + b
 
 
+_CONV_CL_IMPL = _os.environ.get("NEUSPEECH_CONV_CL_IMPL", "conv")
+
+
+def set_conv_cl_impl(name: str) -> None:
+    """'conv' (XLA native conv) or 'unfold' (K-strided-slice concat + one
+    matmul). Takes effect at next trace."""
+    global _CONV_CL_IMPL
+    _CONV_CL_IMPL = name
+
+
 def conv1d_cl(x, p: Params, stride: int = 1, padding: int = 1):
     """Channels-LAST 1-D conv over [B, T, C] (torch kernel [out, in, k]).
 
-    TPU conv units want channels on the lane dimension; the stem uses this
-    layout end-to-end so the only transpose is the single input one."""
-    w = p["w"].astype(x.dtype).transpose(2, 1, 0)  # [K, I, O]
+    Default lowering is 'unfold': build [B, T_out, K*C] from K strided
+    slices and run ONE [K*C, O] matmul — XLA's native 1-D conv reaches only
+    ~10% MFU on these channel-heavy stems (measured 36 ms fwd for the
+    whisper-base EEG stem at bs64) while the unfold matmul maps straight
+    onto the MXU with a 624-deep contraction."""
+    w = p["w"].astype(x.dtype)  # [O, I, K]
     b = p["b"].astype(x.dtype)
+    if _CONV_CL_IMPL == "unfold":
+        o, i, k = w.shape
+        t_out = (x.shape[1] + 2 * padding - k) // stride + 1
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+        cols = [
+            lax.slice_in_dim(xp, j, j + (t_out - 1) * stride + 1, stride, axis=1)
+            for j in range(k)
+        ]
+        xcat = jnp.concatenate(cols, axis=-1)  # [B, T_out, K*I]
+        wmat = w.transpose(2, 1, 0).reshape(k * i, o)
+        return jnp.dot(xcat, wmat) + b
     return lax.conv_general_dilated(
         x,
-        w,
+        w.transpose(2, 1, 0),  # [K, I, O]
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NHC", "HIO", "NHC"),
@@ -255,6 +279,39 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
 # encoder
 # --------------------------------------------------------------------------
 
+def _remat_policy(config: WhisperConfig):
+    """Checkpoint policy for the per-layer remat.
+
+    None (default): full recompute — lowest memory, backward re-runs the
+      whole layer forward including the flash kernel.
+    'flash': save the flash kernel outputs (o + lse) so the backward loads
+      them instead of re-running the forward kernel; q/k/v projections are
+      still recomputed. ~125 MB/layer extra at whisper-base bs64.
+    'flash_qkv': additionally save q/k/v (skips the projection recompute
+      too); ~425 MB/layer extra.
+    'dots' / 'attn': XLA-side policies kept for comparison (measured slower
+      in round 1).
+    """
+    name = config.remat_policy
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if name == "attn":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if name == "flash":
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_o", "flash_lse"
+        )
+    if name == "flash_qkv":
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_q", "flash_k", "flash_v", "flash_o", "flash_lse"
+        )
+    if name == "everything":
+        # no recompute at all — keeps the scan structure (one compiled layer
+        # body) but saves every intermediate; highest memory
+        return jax.checkpoint_policies.everything_saveable
+    return None
+
+
 def _encoder_layer(h, layer_p, n_heads, lora=None, use_flash=False):
     from jax.ad_checkpoint import checkpoint_name
 
@@ -307,13 +364,9 @@ def encoder_apply(
     use_flash = resolve_flash(config, h.shape[1])
     layer_fn = functools.partial(_encoder_layer, use_flash=use_flash)
     if config.remat:
-        if config.remat_policy == "dots":
-            policy = jax.checkpoint_policies.dots_saveable
-        elif config.remat_policy == "attn":
-            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-        else:
-            policy = None
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=policy)
+        layer_fn = jax.checkpoint(
+            layer_fn, static_argnums=(2,), policy=_remat_policy(config)
+        )
 
     if enc_lora is None:
         def body(carry, layer_p):
@@ -398,7 +451,7 @@ def decoder_apply(
     dec_lora = (lora or {}).get("decoder", {}).get("layers")
     enc_out = enc_out.astype(dtype)
     use_flash = cache is None and resolve_flash(config, enc_out.shape[1]) \
-        and resolve_flash(config, t)
+        and resolve_flash(config, t) and t >= config.decoder_flash_min_q
 
     if cache is None:
         if dec_lora is None:

@@ -335,6 +335,18 @@ def _flash_bh(q, k, v, scale, causal, block_q):
 
 def _flash_bh_fwd(q, k, v, scale, causal, block_q):
     o, lse = _fwd(q, k, v, scale, causal, block_q)
+    # Under `jax.checkpoint(..., policy=save_only_these_names('flash_*'))`
+    # these names let the VJP residuals survive rematerialization: the
+    # backward pass then loads o/lse (and optionally q/k/v) instead of
+    # re-running the forward kernel — the single biggest remat recompute
+    # cost at whisper-base geometry (see models/whisper.py remat policies).
+    from jax.ad_checkpoint import checkpoint_name
+
+    q = checkpoint_name(q, "flash_q")
+    k = checkpoint_name(k, "flash_k")
+    v = checkpoint_name(v, "flash_v")
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse)
 
 

@@ -73,11 +73,18 @@ class Trainer:
             max_to_keep=max_to_keep,
             best_only=best_only_save,
         )
+        adalora_total = (adalora or {}).get(
+            "total_steps", max_steps or 10_000
+        )
         self.train_step = ts.make_train_step(
             config, stem, tx, orth_reg_weight=orth_reg_weight,
             augment_config=augment_config,
             track_adalora_importance=bool(adalora),
             fold_lora=fold_lora,
+            adalora_ipt_stop_step=(
+                adalora_total - (adalora or {}).get("tfinal", 1000)
+                if adalora else None
+            ),
         )
         self.eval_step = ts.make_eval_step(config, stem)
         self._log_file = open(
@@ -93,7 +100,6 @@ class Trainer:
                 )
             except Exception:
                 self._tb = None
-        self._imp_ema = None  # AdaLoRA sensitivity EMA (PEFT beta1=0.85)
         self._last_eval_loss: Optional[float] = None
         self._eval_batch_size: Optional[int] = None
         self._gen_tok = generate_eval_tokenizer
@@ -233,11 +239,9 @@ class Trainer:
                 samples_since += bsz
 
                 if self.adalora:
-                    imp = metrics.pop("adalora_importance", None)
-                    if imp is not None:
-                        self._update_importance_ema(imp)
-                    if step_num % self.adalora.get("deltaT", 10) == 0:
-                        self._adalora_update(step_num)
+                    # ipt EMAs update inside the jitted step; allocation
+                    # follows PEFT budget_schedule (mask_ind) exactly
+                    self._adalora_update(step_num)
 
                 if step_num % self.logging_steps == 0:
                     # fetch loss FIRST: it synchronizes all queued steps so
@@ -295,35 +299,44 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _adalora_update(self, step_num: int):
-        """AdaLoRA rank-budget update on the host schedule."""
+        """PEFT `update_and_allocate`: budget_schedule decides when to mask;
+        masking zeroes lora_E below the global importance threshold."""
         from neuspeech1_tpu.models.lora import (
-            adalora_budget,
-            adalora_update_masks_global,
+            adalora_budget_schedule,
+            adalora_mask_to_budget,
+            adalora_total_ranks,
+            adalora_triplet_scores,
         )
 
-        cfg = self.adalora
-        budget = adalora_budget(
-            step_num,
-            cfg.get("init_r", 12),
-            cfg.get("target_r", 4),
-            cfg.get("tinit", 200),
-            cfg.get("tfinal", 1000),
-            cfg.get("total_steps", self.max_steps or 10_000),
-        )
         lora = self.state.trainable.get("lora")
-        if lora and self._imp_ema is not None:
-            new_lora = adalora_update_masks_global(lora, self._imp_ema, budget)
-            import dataclasses
+        if not lora or not self.state.ipt:
+            return
+        cfg = self.adalora
+        init_bgt = adalora_total_ranks(lora)
+        init_r = cfg.get("init_r", 12)
+        n_matrices = max(init_bgt // max(init_r, 1), 1)
+        total = cfg.get("total_steps", self.max_steps or 10_000)
+        tfinal = cfg.get("tfinal", 1000)
+        budget, mask_ind = adalora_budget_schedule(
+            step_num,
+            init_bgt,
+            cfg.get("target_r", 4) * n_matrices,
+            cfg.get("tinit", 200),
+            tfinal,
+            total,
+            cfg.get("deltaT", 10),
+        )
+        # PEFT force-masks at the boundary step (AdaLoraModel
+        # update_and_allocate force_mask=True at total_step - tfinal); after
+        # it, ipt is frozen so re-masking each step == PEFT's
+        # mask_using_rank_pattern (same threshold, same pattern, E re-zeroed)
+        if not (mask_ind or step_num == total - tfinal):
+            return
+        scores = adalora_triplet_scores(self.state.ipt)
+        new_lora = adalora_mask_to_budget(lora, scores, budget, init_bgt)
+        import dataclasses
 
-            self.state = dataclasses.replace(
-                self.state,
-                trainable={**self.state.trainable, "lora": new_lora},
-            )
-
-    def _update_importance_ema(self, imp, beta: float = 0.85):
-        if self._imp_ema is None:
-            self._imp_ema = imp
-        else:
-            self._imp_ema = jax.tree_util.tree_map(
-                lambda e, i: beta * e + (1 - beta) * i, self._imp_ema, imp
-            )
+        self.state = dataclasses.replace(
+            self.state,
+            trainable={**self.state.trainable, "lora": new_lora},
+        )

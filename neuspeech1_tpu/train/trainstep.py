@@ -37,6 +37,10 @@ class TrainState:
     trainable: Params
     opt_state: Any
     rng: jax.Array
+    # AdaLoRA sensitivity/uncertainty EMAs (PEFT RankAllocator exp_avg_ipt /
+    # exp_avg_unc); {} when not using AdaLoRA. Not checkpointed — PEFT's
+    # allocator state is in-memory only too.
+    ipt: Any = None
 
 
 def init_train_state(
@@ -45,6 +49,8 @@ def init_train_state(
     """Returns (state, frozen_tree) from a full param tree + adapters."""
     from neuspeech1_tpu.train.optimizer import partition_params
 
+    from neuspeech1_tpu.models.lora import adalora_ipt_init
+
     combined = {"model": params, "lora": lora if lora is not None else {}}
     trainable, frozen = partition_params(combined, pred)
     state = TrainState(
@@ -52,6 +58,7 @@ def init_train_state(
         trainable=trainable,
         opt_state=tx.init(trainable),
         rng=key,
+        ipt=adalora_ipt_init(lora or {}),
     )
     return state, frozen
 
@@ -121,11 +128,14 @@ def make_train_step(
     donate: bool = True,
     track_adalora_importance: bool = False,
     fold_lora: bool = False,
+    adalora_ipt_stop_step: Optional[int] = None,
 ):
     """Returns jitted `train_step(state, frozen, batch) -> (state, metrics)`;
-    only `state` is donated. With `track_adalora_importance`, metrics carry a
-    per-rank sensitivity tree (|θ·g| over A/B/E) for the AdaLoRA budget
-    allocator (reference AdaLoRA config `finetune.py:205-208`)."""
+    only `state` is donated. With `track_adalora_importance`, the state's
+    AdaLoRA sensitivity/uncertainty EMAs are updated in-jit each step (PEFT
+    RankAllocator.update_ipt: ipt = |θ·g| on the POST-update params, the
+    reference call order `optimizer.step(); update_and_allocate()`); updates
+    stop at `adalora_ipt_stop_step` (PEFT: total_step − tfinal)."""
     loss_fn = make_loss_fn(config, stem, orth_reg_weight, fold_lora=fold_lora)
 
     def train_step(state: TrainState, frozen, batch):
@@ -145,17 +155,25 @@ def make_train_step(
         new_trainable = optax.apply_updates(state.trainable, updates)
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
-        if track_adalora_importance:
-            from neuspeech1_tpu.models.lora import adalora_importance
+        new_ipt = state.ipt
+        if track_adalora_importance and state.ipt:
+            from neuspeech1_tpu.models.lora import adalora_ipt_update
 
-            metrics["adalora_importance"] = adalora_importance(
-                state.trainable["lora"], grads["lora"]
+            updated = adalora_ipt_update(
+                state.ipt, new_trainable["lora"], grads["lora"]
             )
+            if adalora_ipt_stop_step is not None:
+                keep = state.step < adalora_ipt_stop_step
+                updated = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(keep, n, o), updated, state.ipt
+                )
+            new_ipt = updated
         new_state = TrainState(
             step=state.step + 1,
             trainable=new_trainable,
             opt_state=new_opt,
             rng=rng,
+            ipt=new_ipt,
         )
         return new_state, metrics
 

@@ -1,0 +1,99 @@
+"""Perf sweep harness (real TPU): times the whisper-base EEG train step for
+a list of config variants. One JSON line per variant.
+
+Timing: per-step device->host loss fetch (block_until_ready returns early on
+the axon runtime); data-dependent chained steps; median of N.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuspeech1_tpu import enable_compilation_cache
+from neuspeech1_tpu.config import StemConfig, WhisperConfig
+from neuspeech1_tpu.models.init import init_params
+from neuspeech1_tpu.models.lora import init_lora
+from neuspeech1_tpu.train import optimizer as opt
+from neuspeech1_tpu.train import trainstep as ts
+
+enable_compilation_cache()
+
+BS = 64
+LABEL_LEN = 64
+
+
+def measure(tag, config, batch_size=BS, steps=10, **step_kw):
+    stem = StemConfig("base", in_channels=208)
+    params = init_params(jax.random.key(0), config, stem)
+    lora = init_lora(jax.random.key(1), config, rank=32, alpha=64)
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=500, total_steps=100_000)
+    state, frozen = ts.init_train_state(
+        jax.random.key(2), params, lora, tx, opt.default_trainable_pred()
+    )
+    step = ts.make_train_step(config, stem, tx, fold_lora=True, **step_kw)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": jnp.asarray(
+            rng.standard_normal((batch_size, 208, 6000)).astype(np.float32)),
+        "labels": jnp.asarray(
+            rng.integers(0, 50000, (batch_size, LABEL_LEN)).astype(np.int32)),
+        "decoder_input_ids": jnp.asarray(
+            rng.integers(0, 50000, (batch_size, LABEL_LEN)).astype(np.int32)),
+    }
+    try:
+        t0 = time.perf_counter()
+        state, m = step(state, frozen, batch)
+        float(jax.device_get(m["loss"]))
+        compile_s = time.perf_counter() - t0
+        state, m = step(state, frozen, batch)
+        float(jax.device_get(m["loss"]))
+        times = []
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            state, m = step(state, frozen, batch)
+            float(jax.device_get(m["loss"]))
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        print(json.dumps({
+            "variant": tag, "step_ms": round(dt * 1e3, 1),
+            "samples_per_sec": round(batch_size / dt, 1),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({"variant": tag, "error": str(e)[:300]}), flush=True)
+    finally:
+        del state, frozen, params, lora, batch
+
+
+def _conv(impl):
+    from neuspeech1_tpu.models import whisper as jw
+    jw.set_conv_cl_impl(impl)
+
+
+# (config_factory, setup_fn) — decoder_flash_min_q=256 default means the
+# training decoder (T=64) now uses the XLA attention path in all variants
+VARIANTS = {
+    "none": (lambda: WhisperConfig(remat=True), None),
+    "flash": (lambda: WhisperConfig(remat=True, remat_policy="flash"), None),
+    "flash_decflash": (lambda: WhisperConfig(
+        remat=True, remat_policy="flash", decoder_flash_min_q=1), None),
+    "flash_unfold": (lambda: WhisperConfig(remat=True, remat_policy="flash"),
+                     lambda: _conv("unfold")),
+    "everything": (lambda: WhisperConfig(remat=True, remat_policy="everything"),
+                   None),
+    "everything_unfold": (lambda: WhisperConfig(
+        remat=True, remat_policy="everything"), lambda: _conv("unfold")),
+    "noremat": (lambda: WhisperConfig(remat=False), None),
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        cfg_fn, setup = VARIANTS[name]
+        _conv("conv")
+        if setup:
+            setup()
+        measure(name, cfg_fn())
