@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("teacher_forcing", bool, False, "argmax under gold prefix")
     add_arg("noise", bool, False, "replace inputs with noise (ablation)")
     add_arg("random_choice", bool, False, "random-label baseline")
+    add_arg("prompt_text", str, None,
+            "<|startofprev|> text prompt prepended to the decode prefix")
     add_arg("sequence_bias", bool, False, "train-set keyword bias")
     add_arg("bias_extract_type", str, "phrase_word",
             "sequence-bias entries: word|phrase|phrase_word")
@@ -144,11 +146,21 @@ def main(argv=None):
             extract_type=args.bias_extract_type,
         )
 
-    prompt = np.asarray(
-        [tokenizer.prefix_tokens(args.language, "transcribe",
-                                 timestamps=args.timestamps)],
-        np.int32,
-    )
+    if args.prompt_text:
+        # <|startofprev|> text-prompt conditioning (reference
+        # `utils/load_model.py:1258-1294` prompt_ids path)
+        prompt = np.asarray(
+            [tokenizer.prefix_tokens_with_prompt(
+                args.prompt_text, args.language, "transcribe",
+                timestamps=args.timestamps)],
+            np.int32,
+        )
+    else:
+        prompt = np.asarray(
+            [tokenizer.prefix_tokens(args.language, "transcribe",
+                                     timestamps=args.timestamps)],
+            np.int32,
+        )
     gen = GenerationConfig.for_model(
         config,
         max_length=prompt.shape[1] + args.max_new_tokens,
@@ -196,6 +208,9 @@ def main(argv=None):
                 bp = np.repeat(prompt, feats.shape[0], axis=0)
             out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
                                       stem, gen, bias_spec=bias_spec))
+            if args.prompt_text:
+                # drop the prompt span so its words don't leak into preds
+                out = out[:, prompt.shape[1]:]
             preds.extend(tokenizer.batch_decode(out[:b]))
         for i in range(b):
             lab = labels[i]

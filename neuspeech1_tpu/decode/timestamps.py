@@ -123,24 +123,31 @@ def median_filter(x: np.ndarray, width: int) -> np.ndarray:
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Monotonic alignment through a [N_tokens, N_frames] cost matrix
     (reference `_dynamic_time_warping`, `utils/load_model.py:273-324`).
-    Returns (token_indices, frame_indices) of the optimal path."""
+    Returns (token_indices, frame_indices) of the optimal path.
+
+    Vectorized over anti-diagonals: cells on diagonal i+j=k depend only on
+    diagonals k−1 and k−2, so each diagonal is one numpy step — O(N+M)
+    python iterations instead of O(N·M) scalar loops (448 tokens × 1500
+    frames: ~2k vector steps vs ~700k Python-loop cells)."""
     n, m = cost.shape
     D = np.full((n + 1, m + 1), np.inf)
     D[0, 0] = 0.0
     trace = np.zeros((n + 1, m + 1), dtype=np.int8)
-    for i in range(1, n + 1):
-        c_row = cost[i - 1]
-        for j in range(1, m + 1):
-            c0, c1, c2 = D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
-                D[i, j] = c0 + c_row[j - 1]
-                trace[i, j] = 0  # diagonal
-            elif c1 <= c2:
-                D[i, j] = c1 + c_row[j - 1]
-                trace[i, j] = 1  # token step
-            else:
-                D[i, j] = c2 + c_row[j - 1]
-                trace[i, j] = 2  # frame step
+    for k in range(2, n + m + 1):
+        i = np.arange(max(1, k - m), min(n, k - 1) + 1)
+        if i.size == 0:
+            continue
+        j = k - i
+        c0 = D[i - 1, j - 1]  # diagonal       (k-2)
+        c1 = D[i - 1, j]      # token step     (k-1)
+        c2 = D[i, j - 1]      # frame step     (k-1)
+        # tie-breaking identical to the scalar version: diag wins ties,
+        # then token step
+        t = np.where((c0 <= c1) & (c0 <= c2), 0,
+                     np.where(c1 <= c2, 1, 2)).astype(np.int8)
+        best = np.choose(t, [c0, c1, c2])
+        D[i, j] = best + cost[i - 1, j - 1]
+        trace[i, j] = t
     ti, fi = [], []
     i, j = n, m
     while i > 0 and j > 0:

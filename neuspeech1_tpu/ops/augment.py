@@ -211,4 +211,80 @@ def augment_batch_jnp(key, batch, config: Optional[dict]):
         keep = (idx >= n0) & (idx < t - n1)
         batch = jnp.where(apply & ~keep, 0.0, batch)
 
+    if "spec_augment" in config:
+        key, k_spec = jax.random.split(key)
+        batch = spec_augment(k_spec, batch, **config["spec_augment"])
+
+    return batch
+
+
+def _span_mask(key, b: int, length: int, mask_prob: float, mask_length: int,
+               min_masks: int):
+    """[b, length] bool span mask, SpecAugment-style (HF wav2vec2
+    `_compute_mask_indices` semantics: expected span count
+    mask_prob·L/len with probabilistic rounding, ≥ min_masks, spans of
+    exactly mask_length, clipped to the sequence).
+
+    Jit-friendly divergence from HF (documented in PARITY.md): span starts
+    are sampled WITH replacement (HF samples without), so spans may overlap
+    slightly more often; the expected masked fraction is unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if mask_length < 1 or length < mask_length:
+        return jnp.zeros((b, length), bool)
+    raw = mask_prob * length / mask_length
+    n_full = int(raw)
+    frac = raw - n_full
+    n_max = max(n_full + 1, min_masks)
+    # cap like HF: num_spans * mask_length <= length
+    n_max = min(n_max, length // mask_length)
+    if n_max == 0:
+        return jnp.zeros((b, length), bool)
+    k_start, k_eps = jax.random.split(key)
+    starts = jax.random.randint(
+        k_start, (b, n_max), 0, length - mask_length + 1
+    )
+    # span i active if i < num_spans, where num_spans = n_full + (U < frac),
+    # floored at min_masks (HF: int(prob·L/len + eps) with one eps per call)
+    eps = jax.random.uniform(k_eps, ())
+    num = jnp.maximum(n_full + (eps < frac).astype(jnp.int32), min_masks)
+    num = jnp.minimum(num, n_max)
+    active = jnp.arange(n_max)[None, :] < num  # [1, n_max]
+    idx = jnp.arange(length)[None, None, :]
+    spans = (idx >= starts[..., None]) & (idx < starts[..., None] + mask_length)
+    return jnp.any(spans & active[..., None], axis=1)
+
+
+def spec_augment(
+    key,
+    batch,
+    mask_time_prob: float = 0.05,
+    mask_time_length: int = 10,
+    mask_time_min_masks: int = 2,
+    mask_feature_prob: float = 0.0,
+    mask_feature_length: int = 10,
+    mask_feature_min_masks: int = 0,
+):
+    """Feature-level SpecAugment on the [B, ch, T] input tensor — the
+    operator the reference applies in `WhisperModel.forward`
+    (`utils/load_model.py:801-842` → HF `_compute_mask_indices`): zero
+    random time spans and/or feature(channel) spans. Defaults mirror HF
+    whisper's config defaults; the reference ships it disabled
+    (apply_spec_augment=False), so this is opt-in via the augment config's
+    "spec_augment" section."""
+    import jax
+    import jax.numpy as jnp
+
+    b, ch, t = batch.shape
+    k_time, k_feat = jax.random.split(key)
+    if mask_time_prob > 0:
+        tm = _span_mask(k_time, b, t, mask_time_prob, mask_time_length,
+                        mask_time_min_masks)
+        batch = jnp.where(tm[:, None, :], 0.0, batch)
+    if mask_feature_prob > 0:
+        fm = _span_mask(k_feat, b, ch, mask_feature_prob, mask_feature_length,
+                        mask_feature_min_masks)
+        batch = jnp.where(fm[:, :, None], 0.0, batch)
     return batch

@@ -126,6 +126,33 @@ class Tokenizer:
             toks.append(c.notimestamps_id)
         return toks
 
+    def get_prompt_ids(self, text: str) -> List[int]:
+        """``<|startofprev|>`` + tokens of ``" " + text.strip()`` — HF
+        `WhisperTokenizer.get_prompt_ids` (the input to the reference
+        generate's prompt path, `utils/load_model.py:1258-1294`)."""
+        return [self.config.startofprev_id] + list(
+            self.encode(" " + text.strip())
+        )
+
+    def prefix_tokens_with_prompt(
+        self,
+        prompt_text: str,
+        language: Optional[str] = "english",
+        task: str = "transcribe",
+        timestamps: bool = False,
+    ) -> List[int]:
+        """Full decode prefix for `<|startofprev|>` prompt conditioning:
+
+        ``<|startofprev|> <prompt…> <|sot|><|lang|><|task|>[<|notimestamps|>]``
+
+        The text prompt is sliced to the LAST ``max_target_positions//2 - 1``
+        tokens, matching the OpenAI/HF context-window rule the reference
+        inherits (`utils/load_model.py:1264-1268`)."""
+        sop, *text_ids = self.get_prompt_ids(prompt_text)
+        keep = self.config.max_target_positions // 2 - 1
+        text_ids = text_ids[-keep:]
+        return [sop] + text_ids + self.prefix_tokens(language, task, timestamps)
+
     def timestamp_id(self, seconds: float) -> int:
         """Timestamp token for ``seconds`` with the reference's even-centisecond
         rounding rule (`utils/reader.py:363-365`)."""

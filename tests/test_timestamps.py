@@ -159,3 +159,70 @@ def test_generate_with_timestamp_grammar():
     # timestamps non-decreasing
     ts = [t for t in out[3:] if t >= cfg.timestamp_begin]
     assert ts == sorted(ts)
+
+
+def test_dtw_vectorized_matches_scalar_reference():
+    """The anti-diagonal vectorization must reproduce the original scalar
+    DP cell-for-cell (identical tie-breaking)."""
+    import numpy as np
+
+    from neuspeech1_tpu.decode.timestamps import dtw_path
+
+    def dtw_scalar(cost):
+        n, m = cost.shape
+        D = np.full((n + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        trace = np.zeros((n + 1, m + 1), dtype=np.int8)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c0, c1, c2 = D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]
+                if c0 <= c1 and c0 <= c2:
+                    D[i, j] = c0 + cost[i - 1, j - 1]; trace[i, j] = 0
+                elif c1 <= c2:
+                    D[i, j] = c1 + cost[i - 1, j - 1]; trace[i, j] = 1
+                else:
+                    D[i, j] = c2 + cost[i - 1, j - 1]; trace[i, j] = 2
+        ti, fi = [], []
+        i, j = n, m
+        while i > 0 and j > 0:
+            ti.append(i - 1); fi.append(j - 1)
+            t = trace[i, j]
+            if t == 0:
+                i, j = i - 1, j - 1
+            elif t == 1:
+                i -= 1
+            else:
+                j -= 1
+        return np.array(ti[::-1]), np.array(fi[::-1])
+
+    rng = np.random.default_rng(0)
+    for shape in [(5, 9), (12, 7), (1, 20), (30, 30), (17, 3)]:
+        cost = rng.standard_normal(shape)
+        ti_v, fi_v = dtw_path(cost)
+        ti_s, fi_s = dtw_scalar(cost)
+        np.testing.assert_array_equal(ti_v, ti_s, err_msg=str(shape))
+        np.testing.assert_array_equal(fi_v, fi_s, err_msg=str(shape))
+    # ties exercise the tie-breaking rules explicitly
+    cost = np.zeros((6, 8))
+    ti_v, fi_v = dtw_path(cost)
+    ti_s, fi_s = dtw_scalar(cost)
+    np.testing.assert_array_equal(ti_v, ti_s)
+    np.testing.assert_array_equal(fi_v, fi_s)
+
+
+def test_dtw_448x1500_is_fast():
+    import time
+
+    import numpy as np
+
+    from neuspeech1_tpu.decode.timestamps import dtw_path
+
+    cost = np.random.default_rng(1).standard_normal((448, 1500))
+    t0 = time.perf_counter()
+    ti, fi = dtw_path(cost)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"dtw_path took {dt:.1f}s at full whisper geometry"
+    # path properties: monotonic, covers both ends
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == 447 and fi[-1] == 1499
+    assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
