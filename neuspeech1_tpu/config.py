@@ -83,8 +83,9 @@ class WhisperConfig:
     param_dtype: str = "float32"   # master parameter dtype
     remat: bool = False            # jax.checkpoint each transformer layer
     # 'full' (recompute all) | 'flash' (save flash kernel o+lse) |
-    # 'flash_qkv' | 'everything' (no recompute) | 'dots' | 'attn'
-    remat_policy: str = "full"
+    # 'flash_qkv' (also save q/k/v; measured best: 357 ms vs 404 ms 'full'
+    # at whisper-base bs64) | 'flash_mlp' | 'everything' | 'dots' | 'attn'
+    remat_policy: str = "flash_qkv"
     flash_attention: str = "auto"  # 'auto'|'on'|'off' — Pallas flash kernel
     # flash pays off only for long query blocks; the training decoder
     # (teacher forcing, T≈64) is faster on the XLA path

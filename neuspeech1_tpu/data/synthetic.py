@@ -131,3 +131,73 @@ def make_synthetic_corpus(
     write_jsonlines(os.path.join(root, "test.jsonl"), rows[n_train + n_val :] or rows[-1:])
     write_jsonlines(os.path.join(root, "all.jsonl"), rows)
     return rows
+
+
+def make_separable_corpus(
+    root: str,
+    n_clips: int = 300,
+    n_channels: int = 8,
+    vocab_size: int = 6,
+    min_words: int = 2,
+    max_words: int = 4,
+    seg_dur: float = 0.4,
+    language: str = "English",
+    seed: int = 0,
+) -> List[dict]:
+    """Corpus with a GENERALIZABLE signal→text mapping: each word of a small
+    vocabulary is a distinct sinusoid frequency emitted over that word's
+    time span. A model trained on the train split can therefore decode
+    held-out clips built from the same vocabulary — this is the accuracy
+    stand-in (held-out decode WER) for the reference's real-data runs
+    (BASELINE.md procedure item 1; real corpora are not available offline).
+
+    Same jsonl/npy contract as `make_synthetic_corpus`; splits 8:1:1.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = list(_WORDS[:vocab_size])
+    freqs = 3.0 + 4.0 * np.arange(vocab_size)  # 3,7,11,... Hz — well below Nyquist
+    clip_dir = os.path.join(root, "clips")
+    os.makedirs(clip_dir, exist_ok=True)
+    seg_n = int(round(seg_dur * SIGNAL_SAMPLE_RATE))
+    gains = np.linspace(0.5, 1.5, n_channels)[:, None]
+    rows = []
+    for i in range(n_clips):
+        n_words = int(rng.integers(min_words, max_words + 1))
+        word_ids = rng.integers(0, vocab_size, n_words)
+        segs = []
+        words = []
+        for j, wid in enumerate(word_ids):
+            t = np.arange(seg_n) / SIGNAL_SAMPLE_RATE
+            seg = 0.5 * np.sin(2 * np.pi * freqs[wid] * t)[None, :] * gains
+            segs.append(seg)
+            words.append({
+                "word": vocab[wid],
+                "start": round(j * seg_dur, 2),
+                "end": round((j + 1) * seg_dur, 2),
+            })
+        sig = np.concatenate(segs, axis=1)
+        sig = (sig + 0.05 * rng.standard_normal(sig.shape)).astype(np.float32)
+        dur = n_words * seg_dur
+        npy_path = os.path.join(clip_dir, f"sep_{i}_meg.npy")
+        np.save(npy_path, sig)
+        text = " ".join(vocab[w] for w in word_ids)
+        rows.append({
+            "eeg": {"path": npy_path, "sr": SIGNAL_SAMPLE_RATE},
+            "duration": round(dur, 2),
+            "language": language,
+            "sentence": text,
+            "sentences": [{"text": text, "start": 0.0, "end": round(dur, 2),
+                           "duration": round(dur, 2), "words": words}],
+            "subj": i % 3,
+            "story": f"story_{i % 2}",
+        })
+
+    n_train = max(1, int(n_clips * 0.8))
+    n_val = max(1, (n_clips - n_train) // 2)
+    write_jsonlines(os.path.join(root, "train.jsonl"), rows[:n_train])
+    write_jsonlines(os.path.join(root, "val.jsonl"),
+                    rows[n_train: n_train + n_val])
+    write_jsonlines(os.path.join(root, "test.jsonl"),
+                    rows[n_train + n_val:] or rows[-1:])
+    write_jsonlines(os.path.join(root, "all.jsonl"), rows)
+    return rows

@@ -224,8 +224,14 @@ def mha(
 
 
 def mlp(x, p: Params, lora: Optional[Params] = None):
+    from jax.ad_checkpoint import checkpoint_name
+
     lora = lora or {}
-    h = jax.nn.gelu(linear(x, p["fc1"], lora.get("fc1")), approximate=False)
+    # 'mlp_h' (the fc1 pre-activation) is the one MLP tensor worth saving
+    # under remat: from it, gelu and both dW matmuls are recomputable with
+    # cheap VPU work only (see _remat_policy 'flash_mlp')
+    h = checkpoint_name(linear(x, p["fc1"], lora.get("fc1")), "mlp_h")
+    h = jax.nn.gelu(h, approximate=False)
     return linear(h, p["fc2"], lora.get("fc2"))
 
 
@@ -304,6 +310,13 @@ def _remat_policy(config: WhisperConfig):
     if name == "flash_qkv":
         return jax.checkpoint_policies.save_only_these_names(
             "flash_q", "flash_k", "flash_v", "flash_o", "flash_lse"
+        )
+    if name == "flash_mlp":
+        # flash residuals + q/k/v + fc1 pre-activation: backward recomputes
+        # only layernorms and gelu (VPU-cheap); every matmul/kernel output
+        # feeding a gradient is loaded, not recomputed.
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_q", "flash_k", "flash_v", "flash_o", "flash_lse", "mlp_h"
         )
     if name == "everything":
         # no recompute at all — keeps the scan structure (one compiled layer

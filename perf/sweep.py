@@ -44,19 +44,28 @@ def measure(tag, config, batch_size=BS, steps=10, **step_kw):
             rng.integers(0, 50000, (batch_size, LABEL_LEN)).astype(np.int32)),
     }
     try:
+        # chained-dispatch timing: K data-dependent steps, ONE final
+        # device->host fetch. The axon runtime has a ~26 ms dispatch+sync
+        # floor per fetched call (perf/overhead.py), so per-step wall time
+        # with a per-step fetch overstates the step by that floor; chaining
+        # amortizes it to <1.5 ms at K=20. The final loss depends on every
+        # step (state threads through), so all K steps must really execute.
         t0 = time.perf_counter()
         state, m = step(state, frozen, batch)
         float(jax.device_get(m["loss"]))
         compile_s = time.perf_counter() - t0
         state, m = step(state, frozen, batch)
         float(jax.device_get(m["loss"]))
-        times = []
-        for _ in range(steps):
+
+        K = 20
+        totals = []
+        for _ in range(3):
             t0 = time.perf_counter()
-            state, m = step(state, frozen, batch)
+            for _ in range(K):
+                state, m = step(state, frozen, batch)
             float(jax.device_get(m["loss"]))
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
+            totals.append(time.perf_counter() - t0)
+        dt = sorted(totals)[1] / K
         print(json.dumps({
             "variant": tag, "step_ms": round(dt * 1e3, 1),
             "samples_per_sec": round(batch_size / dt, 1),
@@ -73,8 +82,6 @@ def _conv(impl):
     jw.set_conv_cl_impl(impl)
 
 
-# (config_factory, setup_fn) — decoder_flash_min_q=256 default means the
-# training decoder (T=64) now uses the XLA attention path in all variants
 VARIANTS = {
     "none": (lambda: WhisperConfig(remat=True), None),
     "flash": (lambda: WhisperConfig(remat=True, remat_policy="flash"), None),
@@ -87,6 +94,10 @@ VARIANTS = {
     "everything_unfold": (lambda: WhisperConfig(
         remat=True, remat_policy="everything"), lambda: _conv("unfold")),
     "noremat": (lambda: WhisperConfig(remat=False), None),
+    "flash_mlp": (lambda: WhisperConfig(remat=True, remat_policy="flash_mlp"),
+                  None),
+    "flash_qkv2": (lambda: WhisperConfig(remat=True, remat_policy="flash_qkv"),
+                   None),
 }
 
 if __name__ == "__main__":
