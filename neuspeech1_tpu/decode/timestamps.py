@@ -200,9 +200,10 @@ def cross_attention_maps(
         k = _split_heads(linear(enc_out, layer_p["cross_attn"]["k"]), n_heads)
         v = _split_heads(linear(enc_out, layer_p["cross_attn"]["v"]), n_heads)
         dh = q.shape[-1]
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        # q/k/v are BTHD ([B, T, H, Dh]) — see models/whisper._split_heads
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         probs = jax.nn.softmax(scores * dh**-0.5, axis=-1)
-        att = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        att = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         x = linear(_merge_heads(att), layer_p["cross_attn"]["out"])
         hh = res + x
         res = hh

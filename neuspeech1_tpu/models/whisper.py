@@ -149,13 +149,16 @@ def conv1d_cl(x, p: Params, stride: int = 1, padding: int = 1):
 
 
 def _split_heads(x, n_heads: int):
+    """[B, T, D] -> [B, T, H, Dh] — a pure reshape. Heads live on dim 2
+    (BTHD layout) so NO transpose brackets the attention kernel; both the
+    Pallas flash kernel and the XLA einsum path consume BTHD directly."""
     b, t, d = x.shape
-    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+    return x.reshape(b, t, n_heads, d // n_heads)
 
 
 def _merge_heads(x):
-    b, h, t, dh = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
 
 
 def attention(
@@ -164,23 +167,23 @@ def attention(
     use_flash: bool = False,
     causal: bool = False,
 ):
-    """SDPA on [B, H, T, Dh] tensors; softmax in fp32 for stability.
+    """SDPA on [B, T, H, Dh] (BTHD) tensors; softmax in fp32 for stability.
 
     With `use_flash` (and no explicit mask, or a plain causal pattern) the
     Pallas flash kernel runs instead — no [B, H, T, T] HBM intermediates
     (see `ops/flash_attention.py`).
     """
     if use_flash:
-        from neuspeech1_tpu.ops.flash_attention import flash_attention
+        from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
 
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention_bthd(q, k, v, causal=causal)
     dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(logits_dtype)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(logits_dtype)
     scores = scores * (dh ** -0.5)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(logits_dtype).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
 def mha(
@@ -197,7 +200,7 @@ def mha(
 ):
     """Multi-head attention with optional cross-attention and KV cache.
 
-    cache: {"k": [B,H,Tmax,Dh], "v": ...} fixed-shape buffers; with
+    cache: {"k": [B,Tmax,H,Dh], "v": ...} fixed-shape BTHD buffers; with
     ``cache_index`` (scalar) new K/V rows are written at that position and
     attention spans the first ``cache_index+q_len`` entries.
     Returns (out, new_cache).
@@ -213,9 +216,9 @@ def mha(
         k = _split_heads(linear(src, p["k"], lora.get("k")), n_heads)
         v = _split_heads(linear(src, p["v"], lora.get("v")), n_heads)
         if cache is not None:
-            # write at cache_index along the time axis
-            k = lax.dynamic_update_slice(cache["k"], k, (0, 0, cache_index, 0))
-            v = lax.dynamic_update_slice(cache["v"], v, (0, 0, cache_index, 0))
+            # write at cache_index along the time axis (dim 1 in BTHD)
+            k = lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+            v = lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
         else:
             new_cache = None
@@ -456,7 +459,7 @@ def decoder_apply(
         pos = lax.dynamic_slice(
             dec["pos_embed"], (cache_index, 0), (t, dec["pos_embed"].shape[1])
         ).astype(dtype)[None]
-        t_max = cache["self"]["k"].shape[3]
+        t_max = cache["self"]["k"].shape[2]  # [L, B, Tmax, H, Dh]
         positions = jnp.arange(t_max)[None, None, None, :]
         self_mask = positions <= (cache_index + jnp.arange(t)[:, None]).reshape(1, 1, t, 1)
     h = h + pos
@@ -517,7 +520,7 @@ def decoder_apply(
 def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
-    Shapes: self  k/v [L, B, H, max_len, Dh]; cross k/v [L, B, H, T_src, Dh].
+    BTHD layout: self k/v [L, B, max_len, H, Dh]; cross [L, B, T_src, H, Dh].
     """
     dtype = jnp.dtype(config.dtype)
     dec = params["decoder"]
@@ -532,7 +535,7 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int):
         return {"k": k, "v": v}
 
     cross = jax.vmap(per_layer_cross)(dec["layers"])
-    zeros = jnp.zeros((L, b, h, max_len, dh), dtype)
+    zeros = jnp.zeros((L, b, max_len, h, dh), dtype)
     return {"self": {"k": zeros, "v": zeros}, "cross": cross}
 
 

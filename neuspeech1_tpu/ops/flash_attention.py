@@ -253,6 +253,210 @@ def _bwd(scale, causal, block_q, res, g):
 
 
 # ----------------------------------------------------------------------
+# BTHD layout: kernels reading [B, T, H, D] directly — the layout the
+# q/k/v projections produce with a free reshape, so NO [B,T,H,D]→[B,H,T,D]
+# transposes bracket the kernel (4 transposed tensors per layer per
+# direction otherwise). Grid (B, H, nq); K/V blocks grid-invariant over nq.
+# ----------------------------------------------------------------------
+
+def _fwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_q,
+                     t_kv, block_q, causal, n_heads):
+    """Grid (B, nq); blocks carry ALL heads (Mosaic requires the last two
+    block dims divisible by (8,128) or equal to the array dims — a 1-sized
+    head block is rejected, a full H block is legal). Heads are processed
+    by an unrolled loop of 2-D dots."""
+    qi = pl.program_id(1)
+    for hh in range(n_heads):
+        q = q_ref[0, :, hh, :]      # [BQ, D]
+        k = k_ref[0, :, hh, :]      # [Tk_pad, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = kv_idx < t_kv
+        if causal:
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0)
+            mask = mask & (kv_idx <= q_idx)
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, hh, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, :, hh, :] = o.astype(o_ref.dtype)
+        lse = (m + jnp.log(l))[:, 0]
+        lse_ref[0, hh] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _fwd_arrays_bthd(q, k, v, scale, causal, block_q, t_q, t_kv):
+    """Forward on padded [B, Tq_pad, H, D] arrays (shardable on B and H)."""
+    b, tq_pad, h, d = q.shape
+    tk_pad = k.shape[1]
+    grid = (b, tq_pad // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_bthd, scale=scale, t_q=t_q, t_kv=t_kv,
+            block_q=block_q, causal=causal, n_heads=h,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, h, d), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, h, d), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, h, d), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, h, d), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 8, block_q), lambda b, i: (b, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 8, tq_pad), jnp.float32),
+        ],
+        interpret=not on_tpu(),
+    )(q, k, v)
+    return o, lse
+
+
+def _bwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                     dq_ref, dk_ref, dv_ref, *,
+                     scale, t_q, t_kv, block_q, causal, n_q_blocks, n_heads):
+    """Grid (B, nq). dK/dV accumulate directly into their (grid-invariant,
+    f32) output blocks — they stay VMEM-resident across the q-block steps,
+    so no separate scratch is needed and VMEM stays within budget at
+    whisper-base geometry."""
+    qb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for hh in range(n_heads):
+        k = k_ref[0, :, hh, :]
+        v = v_ref[0, :, hh, :]
+        q = q_ref[0, :, hh, :]
+        o = o_ref[0, :, hh, :]
+        do = do_ref[0, :, hh, :]
+        lse = lse_ref[0, hh, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = kv_idx < t_kv
+        if causal:
+            q_idx = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0)
+            mask = mask & (kv_idx <= q_idx)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+
+        do_f = do.astype(jnp.float32)
+        o_f = o.astype(jnp.float32)
+        dv_ref[0, :, hh, :] += jax.lax.dot_general(
+            p, do_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do_f, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do_f * o_f, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, :, hh, :] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, hh, :] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _bwd_arrays_bthd(qp, kp, vp, op, dop, lsep, scale, causal, block_q,
+                     t_q, t_kv):
+    b, tq_pad, h, d = qp.shape
+    tk_pad = kp.shape[1]
+    # smaller q blocks than forward: dk/dv f32 output blocks are resident
+    block_q = min(block_q, 256)
+    n_q_blocks = tq_pad // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_bthd, scale=scale, t_q=t_q, t_kv=t_kv,
+            block_q=block_q, causal=causal, n_q_blocks=n_q_blocks, n_heads=h,
+        ),
+        grid=(b, n_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h, d), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, h, d), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, h, d), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, h, d), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, h, d), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 8, block_q), lambda b, i: (b, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, h, d), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, h, d), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, h, d), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq_pad, h, d), qp.dtype),
+            jax.ShapeDtypeStruct((b, tk_pad, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, tk_pad, h, d), jnp.float32),
+        ],
+        interpret=not on_tpu(),
+    )(qp, kp, vp, op, dop, lsep)
+    return dq, dk.astype(kp.dtype), dv.astype(vp.dtype)
+
+
+def _fwd_bthd(q, k, v, scale, causal, block_q):
+    b, t_q, h, d = q.shape
+    t_kv = k.shape[1]
+    tq_pad = _round_up(t_q, block_q)
+    tk_pad = _round_up(t_kv, 128)
+    q = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0), (0, 0)))
+    o, lse = _fwd_sharded_bthd(q, k, v, scale, causal, block_q, t_q, t_kv)
+    return o[:, :t_q], lse
+
+
+def _bwd_bthd(scale, causal, block_q, res, g):
+    q, k, v, o, lse = res
+    do = g
+    b, t_q, h, d = q.shape
+    t_kv = k.shape[1]
+    tq_pad = _round_up(t_q, block_q)
+    tk_pad = _round_up(t_kv, 128)
+    qp = jnp.pad(q, ((0, 0), (0, tq_pad - t_q), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, tk_pad - t_kv), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, tk_pad - t_kv), (0, 0), (0, 0)))
+    op = jnp.pad(o, ((0, 0), (0, tq_pad - t_q), (0, 0), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, tq_pad - t_q), (0, 0), (0, 0)))
+    dq, dk, dv = _bwd_sharded_bthd(
+        qp, kp, vp, op, dop, lse, scale, causal, block_q, t_q, t_kv
+    )
+    return dq[:, :t_q], dk[:, :t_kv], dv[:, :t_kv]
+
+
+# ----------------------------------------------------------------------
 # SPMD partitioning: the kernels shard trivially over the fused (B*H) dim.
 # Without this, GSPMD would all-gather sharded inputs and run the custom
 # call replicated on every device.
@@ -323,6 +527,80 @@ _bwd_sharded = _make_partitioned(
 )
 
 
+def _spec_dim(sharding, dim):
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+def _make_partitioned_bthd(fn, n_arrays: int, n_out: int, lse_positions,
+                           sharding_rule=None, need_replication=()):
+    """BTHD variant: tensors shard on B (dim 0) and H (dim 2 for q/k/v/o,
+    dim 1 for lse); T and D replicated."""
+    wrapped = custom_partitioning(
+        fn, static_argnums=tuple(range(n_arrays, n_arrays + 5))
+    )
+
+    def _shardings(mesh, b, h):
+        def arr(nd, is_lse):
+            if is_lse:
+                return NamedSharding(mesh, _P(b, h, None, None))
+            return NamedSharding(mesh, _P(b, None, h, None))
+
+        outs = tuple(
+            arr(4, i in lse_positions) for i in range(n_out)
+        )
+        # inputs: q/k/v/o/do are BTHD; the lse input (backward arg 5) is BH8T
+        args = tuple(
+            arr(4, n_arrays == 6 and i == 5) for i in range(n_arrays)
+        )
+        return outs, args
+
+    def infer(*call_args):
+        *_, mesh, arg_infos, result_infos = call_args
+        b = _spec_dim(arg_infos[0].sharding, 0)
+        h = _spec_dim(arg_infos[0].sharding, 2)
+        outs, _ = _shardings(mesh, b, h)
+        return outs if n_out > 1 else outs[0]
+
+    def partition(*call_args):
+        *static, mesh, arg_infos, result_infos = call_args
+        static = static[-5:]
+        b = _spec_dim(arg_infos[0].sharding, 0)
+        h = _spec_dim(arg_infos[0].sharding, 2)
+        outs, args = _shardings(mesh, b, h)
+
+        def lower(*arrays):
+            return fn(*arrays, *static)
+
+        return mesh, lower, (outs if n_out > 1 else outs[0]), args
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=sharding_rule,
+        need_replication_factors=need_replication,
+    )
+    return wrapped
+
+
+_fwd_sharded_bthd = _make_partitioned_bthd(
+    _fwd_arrays_bthd, 3, 2, lse_positions=(1,),
+    # factor order of first appearance: q(1) h(2) d(3) k(4) e(5)
+    sharding_rule="b q h d, b k h d, b k h d -> b q h d, b h e q",
+    need_replication=("q", "d", "k", "e"),
+)
+_bwd_sharded_bthd = _make_partitioned_bthd(
+    _bwd_arrays_bthd, 6, 3, lse_positions=(),
+    sharding_rule=(
+        "b q h d, b k h d, b k h d, b q h d, b q h d, b h e q "
+        "-> b q h d, b k h d, b k h d"
+    ),
+    need_replication=("q", "d", "k", "e"),
+)
+
+
 # ----------------------------------------------------------------------
 # public API
 # ----------------------------------------------------------------------
@@ -353,9 +631,63 @@ def _flash_bh_fwd(q, k, v, scale, causal, block_q):
 _flash_bh.defvjp(_flash_bh_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bthd(q, k, v, scale, causal, block_q):
+    o, _ = _fwd_bthd(q, k, v, scale, causal, block_q)
+    return o
+
+
+def _flash_bthd_fwd(q, k, v, scale, causal, block_q):
+    o, lse = _fwd_bthd(q, k, v, scale, causal, block_q)
+    from jax.ad_checkpoint import checkpoint_name
+
+    q = checkpoint_name(q, "flash_q")
+    k = checkpoint_name(k, "flash_k")
+    v = checkpoint_name(v, "flash_v")
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse, "flash_lse")
+    return o, (q, k, v, o, lse)
+
+
+_flash_bthd.defvjp(_flash_bthd_fwd, _bwd_bthd)
+
+
 import os
 
 DEFAULT_BLOCK_Q = int(os.environ.get("NEUSPEECH_FLASH_BLOCK_Q", "512"))
+
+
+# The native [B,T,H,D] Pallas kernels above compile in interpret mode but
+# the current Mosaic release rejects their block/slicing pattern on real
+# TPUs (remote-compile HTTP 500, tpu_compile_helper crash). Until that is
+# root-caused, the production path transposes to the proven BHTD kernel —
+# XLA lays the transposes out next to the custom call. Flip on to
+# experiment with the native path.
+_BTHD_NATIVE = os.environ.get("NEUSPEECH_FLASH_BTHD_NATIVE", "0") == "1"
+
+
+def flash_attention_bthd(q, k, v, causal: bool = False,
+                         block_q: Optional[int] = None):
+    """BTHD layout API: q [B, Tq, H, D]; k, v [B, Tkv, H, D]; returns
+    [B, Tq, H, D] in q.dtype — the natural layout of fused QKV projections
+    ([B,T,H*D] reshaped). Sharding: B and H dims both partitionable
+    (custom_partitioning + Shardy rule on the native path; the BHTD
+    fallback shards over the fused batch·heads dim)."""
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q
+    b, t_q, h, d = q.shape
+    t_kv = k.shape[1]
+    if causal and t_q != t_kv:
+        raise ValueError("causal flash attention requires Tq == Tkv")
+    if _BTHD_NATIVE or not on_tpu():
+        scale = d ** -0.5
+        bq = min(block_q, _round_up(t_q, 8))
+        return _flash_bthd(q, k, v, scale, causal, bq)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), causal=causal, block_q=block_q,
+    )
+    return out.transpose(0, 2, 1, 3)
 
 
 def flash_attention(q, k, v, causal: bool = False,

@@ -98,6 +98,7 @@ VARIANTS = {
                   None),
     "flash_qkv2": (lambda: WhisperConfig(remat=True, remat_policy="flash_qkv"),
                    None),
+    "default": (lambda: WhisperConfig(remat=True), None),
 }
 
 if __name__ == "__main__":

@@ -50,3 +50,9 @@ def tiny_tok():
 
     cfg = tiny_config()
     return ByteTokenizer(cfg)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running regression (convergence gate ~90s)"
+    )

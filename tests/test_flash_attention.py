@@ -149,3 +149,77 @@ def test_partitioned_execution_on_mesh():
         assert a.sharding.spec == P("data")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-4)
+
+
+# ----------------------------------------------------------------------
+# BTHD (transpose-free) kernel variant
+# ----------------------------------------------------------------------
+
+def _qkv_bthd(b=2, h=2, tq=40, tkv=40, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tkv, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tkv, h, d)).astype(np.float32))
+    return q, k, v
+
+
+def _ref_bthd(q, k, v, causal=False):
+    out = ref_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                        v.transpose(0, 2, 1, 3), causal=causal)
+    return out.transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("tq,tkv,causal", [(128, 128, False), (40, 70, False),
+                                           (96, 96, True)])
+def test_bthd_forward_parity(tq, tkv, causal):
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    q, k, v = _qkv_bthd(tq=tq, tkv=tkv)
+    out = flash_attention_bthd(q, k, v, causal=causal)
+    ref = _ref_bthd(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_bthd_backward_parity():
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    q, k, v = _qkv_bthd(tq=48, tkv=40)
+
+    def loss_f(fn):
+        return lambda q, k, v: jnp.sum(jnp.tanh(fn(q, k, v)))
+
+    g1 = jax.grad(loss_f(flash_attention_bthd), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_f(_ref_bthd), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_bthd_partitioned_execution_on_mesh():
+    """B sharded over 4 devices, H over 2 — the Shardy rule partitions both
+    batch and head dims without resharding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    q, k, v = _qkv_bthd(b=8, h=4, tq=32, tkv=32)
+    sh = NamedSharding(mesh, P("dp", None, "tp", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    @jax.jit
+    def f(q, k, v):
+        return flash_attention_bthd(q, k, v)
+
+    out = f(qs, ks, vs)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+    g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        jnp.tanh(flash_attention_bthd(q, k, v)))))(qs, ks, vs)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(_ref_bthd(q, k, v))))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
+                               atol=2e-4)
