@@ -141,12 +141,17 @@ def get_sequences(tsv_path: str) -> List[dict]:
     """Assemble sentences from an events.tsv: consecutive word events with
     the same sequence_id form one sentence (reference
     `gwilliams2023_process.py:43-85`)."""
+    import ast
+
     import pandas as pd
 
     text = pd.read_csv(tsv_path, delimiter="\t")
     words = []
     for i in range(len(text)):
-        tti = eval(text["trial_type"][i], {"__builtins__": {}})  # BIDS dict-str
+        # BIDS trial_type cells are python-dict literals; literal_eval
+        # cannot execute code (the reference uses bare eval,
+        # `gwilliams2023_process.py:49`)
+        tti = ast.literal_eval(text["trial_type"][i])
         if tti.get("kind") == "word":
             words.append({
                 "onset": float(text.iloc[i]["onset"]),

@@ -561,15 +561,24 @@ def forward(
     return decoder_apply(params, decoder_input_ids, enc_out, config, lora=lora)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def ce_loss(logits, labels, ignore_id: int = -100):
     """Token-mean cross entropy with -100 masking (reference
     `utils/load_model.py:1050-1054`).
 
-    Computed as logsumexp(logits) - logits[label] so only reductions and a
-    gather touch the [B, T, V] tensor — no f32 log-softmax materialization
-    (at whisper's 51865-wide vocab that intermediate alone is ~850 MB for a
-    bs-64 batch).
+    Forward: logsumexp(logits) - logits[label] — only reductions and a
+    gather touch the [B, T, V] tensor (no f32 log-softmax materialization;
+    at whisper's 51865-wide vocab that intermediate alone is ~850 MB for a
+    bs-64 batch). Backward (custom VJP): dlogits = (softmax − onehot)·w is
+    emitted directly in the LOGITS dtype as one fused elementwise kernel
+    from the saved f32 lse row statistics — autodiff would otherwise
+    materialize the f32 softmax AND a scatter-subtract before downcasting.
     """
+    loss, _ = _ce_fwd_impl(logits, labels, ignore_id)
+    return loss
+
+
+def _ce_fwd_impl(logits, labels, ignore_id):
     mask = labels != ignore_id
     safe = jnp.where(mask, labels, 0)
     lg = logits.astype(jnp.float32)
@@ -578,4 +587,28 @@ def ce_loss(logits, labels, ignore_id: int = -100):
     # true nll >= 0; the clamp removes f32 summation noise (~1e-4) visible
     # once a model memorizes its data
     nll = jnp.maximum(lse - picked, 0.0)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    loss = jnp.sum(nll * mask) / n
+    return loss, (lse, n)
+
+
+def _ce_fwd(logits, labels, ignore_id):
+    loss, (lse, n) = _ce_fwd_impl(logits, labels, ignore_id)
+    return loss, (logits, labels, lse, n)
+
+
+def _ce_bwd(ignore_id, res, g):
+    logits, labels, lse, n = res
+    mask = labels != ignore_id
+    safe = jnp.where(mask, labels, 0)
+    w = (g * mask.astype(jnp.float32) / n.astype(jnp.float32))[..., None]
+    probs = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = (
+        jnp.arange(logits.shape[-1], dtype=labels.dtype)[None, None, :]
+        == safe[..., None]
+    )
+    dlogits = ((probs - onehot) * w).astype(logits.dtype)
+    return dlogits, None
+
+
+ce_loss.defvjp(_ce_fwd, _ce_bwd)
