@@ -38,9 +38,9 @@ def remove_punctuation(texts) -> List[str]:
 
 def to_simple(texts) -> List[str]:
     """Traditional->simplified Chinese (reference uses zhconv,
-    `utils/data_utils.py:126-137`). zhconv is not available in this image;
-    gated with a passthrough + warning to keep the English/Dutch paths
-    fully functional."""
+    `utils/data_utils.py:126-137`). Uses zhconv when installed; otherwise
+    the vendored high-frequency character table (`utils/zh_t2s.py`) —
+    characters outside the table pass through unchanged."""
     if isinstance(texts, str):
         texts = [texts]
     try:
@@ -48,7 +48,9 @@ def to_simple(texts) -> List[str]:
 
         return [convert(t, "zh-cn") for t in texts]
     except ImportError:
-        return list(texts)
+        from neuspeech1_tpu.utils.zh_t2s import convert_t2s
+
+        return [convert_t2s(t) for t in texts]
 
 
 def generate_random_string(length: int = 24) -> str:

@@ -102,10 +102,44 @@ VARIANTS = {
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(VARIANTS)
+    names = [n for n in sys.argv[1:] if n != "ch8"] or (
+        [] if "ch8" in sys.argv else list(VARIANTS))
     for name in names:
         cfg_fn, setup = VARIANTS[name]
         _conv("conv")
         if setup:
             setup()
         measure(name, cfg_fn())
+
+# usage: python perf/sweep.py ch8   (stem-cost ablation: conv_a flops ∝ channels)
+def measure_ch8():
+    config = WhisperConfig(remat=True)
+    stem = StemConfig("base", in_channels=8)
+    params = init_params(jax.random.key(0), config, stem)
+    lora = init_lora(jax.random.key(1), config, rank=32, alpha=64)
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=500, total_steps=100_000)
+    state, frozen = ts.init_train_state(
+        jax.random.key(2), params, lora, tx, opt.default_trainable_pred())
+    step = ts.make_train_step(config, stem, tx, fold_lora=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": jnp.asarray(
+            rng.standard_normal((BS, 8, 6000)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, 50000, (BS, LABEL_LEN)).astype(np.int32)),
+        "decoder_input_ids": jnp.asarray(rng.integers(0, 50000, (BS, LABEL_LEN)).astype(np.int32)),
+    }
+    state, m = step(state, frozen, batch); float(jax.device_get(m["loss"]))
+    state, m = step(state, frozen, batch); float(jax.device_get(m["loss"]))
+    K = 20
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, m = step(state, frozen, batch)
+        float(jax.device_get(m["loss"]))
+        totals.append(time.perf_counter() - t0)
+    dt = sorted(totals)[1] / K
+    print(json.dumps({"variant": "ch8", "step_ms": round(dt*1e3, 1)}), flush=True)
+
+if "ch8" in sys.argv:
+    measure_ch8()

@@ -208,3 +208,20 @@ def test_wer_symmetry_properties():
     # insertion-only and deletion-only
     assert edit.wer(["a b c d"], ["a b c"]) == pytest.approx(1 / 3)
     assert edit.wer(["a b"], ["a b c"]) == pytest.approx(1 / 3)
+
+
+def test_traditional_to_simplified_table():
+    """Vendored t2s table: canonical conversions + passthrough for
+    simplified/shared/non-CJK text (reference zhconv `to_simple`)."""
+    from neuspeech1_tpu.utils.text import to_simple
+    from neuspeech1_tpu.utils.zh_t2s import T2S, convert_t2s
+
+    assert convert_t2s("中國人民學習機器") == "中国人民学习机器"
+    assert convert_t2s("我們說漢語") == "我们说汉语"
+    assert convert_t2s("开门见山") == "开门见山"  # already simplified
+    assert convert_t2s("hello 123") == "hello 123"
+    assert to_simple("電腦網絡") == ["电脑网络"]
+    assert to_simple(["聽說讀寫", "ok"]) == ["听说读写", "ok"]
+    # table sanity: values are simplified (no key maps to another key's key)
+    for trad, simp in T2S.items():
+        assert len(trad) == 1 and len(simp) == 1
