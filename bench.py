@@ -128,31 +128,43 @@ def main():
     flops = fwd_flops_per_sample(config, label_len, 208)
     mfu = samples_per_sec * 3.0 * flops / V5E_PEAK_BF16_FLOPS
 
-    # ---- greedy decode throughput (KV-cached, whisper-base bs64)
-    decode_tps = None
+    # ---- greedy decode throughput (KV-cached, whisper-base bs64).
+    # Two-point measurement: the (time @48 − time @8)/40 slope isolates the
+    # per-token decode cost from the encoder forward + dispatch floor, so
+    # `decode_tokens_per_sec` is the sustained incremental rate;
+    # `decode_e2e_tokens_per_sec` includes the encoder (48-token utterance).
+    decode_tps = decode_e2e_tps = None
     try:
         from neuspeech1_tpu.decode.generate import (
             GenerationConfig, greedy_decode,
         )
 
-        max_new = 48
         prompt = np.asarray(
             [[config.sot_id, config.first_language_id, config.transcribe_id,
               config.notimestamps_id]] * batch_size, np.int32)
-        gen = GenerationConfig.for_model(
-            config, max_length=prompt.shape[1] + max_new)
         model_params, lora_tree = ts.model_params_of(state, frozen)
         feats = batch["input_features"]
-        out = greedy_decode(model_params, feats, prompt, config, stem, gen,
-                            lora=lora_tree)
-        np.asarray(out)  # sync
-        t0 = time.perf_counter()
-        out = greedy_decode(
-            model_params, feats * (1.0 + 1e-6), prompt, config, stem, gen,
-            lora=lora_tree)
-        np.asarray(out)
-        d_dt = time.perf_counter() - t0
-        decode_tps = batch_size * max_new / d_dt
+
+        def timed_decode(max_new):
+            gen = GenerationConfig.for_model(
+                config, max_length=prompt.shape[1] + max_new)
+            out = greedy_decode(model_params, feats, prompt, config, stem,
+                                gen, lora=lora_tree)
+            np.asarray(out)  # warmup/compile + sync
+            times = []
+            f = feats
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = greedy_decode(model_params, f, prompt, config, stem,
+                                    gen, lora=lora_tree)
+                s = float(np.asarray(out)[0, -1])
+                times.append(time.perf_counter() - t0)
+                f = feats * (1.0 + s * 1e-9)
+            return sorted(times)[1]
+
+        t8, t48 = timed_decode(8), timed_decode(48)
+        decode_tps = batch_size * 40 / max(t48 - t8, 1e-9)
+        decode_e2e_tps = batch_size * 48 / t48
     except Exception:
         pass
 
@@ -167,6 +179,7 @@ def main():
     }
     if decode_tps is not None:
         result["decode_tokens_per_sec"] = round(decode_tps, 1)
+        result["decode_e2e_tokens_per_sec"] = round(decode_e2e_tps, 1)
     print(json.dumps(result))
 
 

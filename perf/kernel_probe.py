@@ -154,3 +154,47 @@ try:
     timeit("official_tuned", off)
 except Exception as e:
     print(json.dumps({"k": "official_tuned", "error": str(e)[:160]}))
+
+
+# ---- variant: dimension_semantics hints (Mosaic may overlap instances)
+def make_semantics(block_q, sem):
+    def kern(q_ref, k_ref, v_ref, o_ref, *, scale):
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx < T, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / l
+        o_ref[0] = o.astype(o_ref.dtype)
+
+    def run(q, k, v):
+        bh = q.shape[0]
+        return pl.pallas_call(
+            functools.partial(kern, scale=D**-0.5),
+            grid=(bh, TK // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, TK, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=sem),
+        )(q, k, v)
+    return run
+
+
+for sem in (("parallel", "parallel"), ("parallel", "arbitrary")):
+    timeit(f"sem_{'_'.join(sem)}_bq512", make_semantics(512, sem))
+    timeit(f"sem_{'_'.join(sem)}_bq256", make_semantics(256, sem))

@@ -203,3 +203,33 @@ def test_transcriber_int8(cli_run):
     tq = q8.transcribe(sigs)
     assert len(td) == len(tq) == 2
     assert all(isinstance(x, str) for x in tq)
+
+
+def test_evaluate_with_prompt_and_yake_bias(cli_run):
+    """Round-2 eval surface: <|startofprev|> text prompt + native-YAKE
+    sequence bias, end to end through the CLI."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+    from neuspeech1_tpu.cli.merge_lora import main as merge
+
+    corpus, out = cli_run
+    full = merge([
+        f"--lora_model={out}/adapter_final.npz",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE,
+    ])
+    metrics = evaluate([
+        f"--test_data={corpus}/test.jsonl", f"--model_path={full}",
+        "--tokenizer=byte", "--eeg_ch=4", "--batch_size=2", "--num_beams=1",
+        "--max_new_tokens=6", "--prompt_text=hi there",
+        "--sequence_bias=True", f"--train_data={corpus}/train.jsonl",
+        "--bias_weight=-0.5", "--bias_extract_type=phrase_word",
+        f"--output_dir={out}/eval_prompt",
+    ])
+    assert 0 <= metrics["wer"]
+    # prompt text must not leak into predictions
+    import json as _json
+
+    rows = [
+        _json.loads(l)
+        for l in open(f"{out}/eval_prompt/test_beam1.jsonl")
+    ]
+    assert rows and all("hi there" not in r["pred"] for r in rows)
