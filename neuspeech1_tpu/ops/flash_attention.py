@@ -658,11 +658,14 @@ DEFAULT_BLOCK_Q = int(os.environ.get("NEUSPEECH_FLASH_BLOCK_Q", "512"))
 
 
 # The native [B,T,H,D] Pallas kernels above compile in interpret mode but
-# the current Mosaic release rejects their block/slicing pattern on real
-# TPUs (remote-compile HTTP 500, tpu_compile_helper crash). Until that is
-# root-caused, the production path transposes to the proven BHTD kernel —
-# XLA lays the transposes out next to the custom call. Flip on to
-# experiment with the native path.
+# the current Mosaic release crashes (remote-compile HTTP 500,
+# tpu_compile_helper exit 1) on real TPUs. Bisected (/tmp/mosaic_bisect*,
+# round 2): 4-D blocks with head-sliced COPIES compile; ANY dot_general
+# inside a kernel with 4-D blocks crashes — even reading clean 2-D VMEM
+# scratch, while the identical dot under 3-D blocks compiles. Toolchain
+# bug, not a block-shape rule. Until a Mosaic upgrade, the production path
+# transposes to the proven BHTD kernel — XLA lays the transposes out next
+# to the custom call (measured cost ≈ nothing: 360 vs 357 ms step).
 _BTHD_NATIVE = os.environ.get("NEUSPEECH_FLASH_BTHD_NATIVE", "0") == "1"
 
 

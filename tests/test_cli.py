@@ -233,3 +233,32 @@ def test_evaluate_with_prompt_and_yake_bias(cli_run):
         for l in open(f"{out}/eval_prompt/test_beam1.jsonl")
     ]
     assert rows and all("hi there" not in r["pred"] for r in rows)
+
+
+def test_cross_dataset_pretrain_transfer(cli_run, tmp_path_factory):
+    """Reference `finetune.py:150-163`: load a pretrained adapter, merge it
+    into the base, and re-initialize the stem when the new dataset's
+    channel count differs (--lora_model/--lora_eeg_ch)."""
+    from neuspeech1_tpu.cli.finetune import main as finetune
+    from neuspeech1_tpu.data.synthetic import make_synthetic_corpus
+
+    corpus4, out = cli_run  # adapter trained on 4 channels
+    root = tmp_path_factory.mktemp("transfer")
+    corpus6 = str(root / "c6")
+    make_synthetic_corpus(corpus6, n_clips=8, n_channels=6, seed=9,
+                          max_dur=0.6, min_dur=0.5)
+    out2 = str(root / "run6")
+    finetune([
+        f"--train_data={corpus6}/train.jsonl",
+        f"--val_data={corpus6}/val.jsonl",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=6",
+        f"--lora_model={out}/adapter_final.npz", "--lora_eeg_ch=4",
+        "--max_audio_len=0.64", "--min_audio_len=0.5",
+        "--max_steps=4", "--per_device_train_batch_size=4", "--ft_full=True",
+        "--learning_rate=0.001", "--warmup_steps=1", "--eval_steps=4",
+        "--save_steps=4", "--logging_steps=2", "--label_max_length=40",
+        f"--output_dir={out2}", *GEO,
+    ])
+    assert os.path.exists(f"{out2}/adapter_final.npz")
+    log = [json.loads(l) for l in open(f"{out2}/metrics.jsonl")]
+    assert any("loss" in r for r in log)
