@@ -183,7 +183,6 @@ class YakeExtractor:
         for key, tf_kw in freqs.items():
             gram = surface[key]
             prod, ssum = 1.0, 0.0
-            ok = True
             for j, w in enumerate(gram):
                 t = terms[w]
                 if t.stop:
@@ -197,8 +196,6 @@ class YakeExtractor:
                 else:
                     prod *= t.score
                     ssum += t.score
-            if not ok:
-                continue
             out[key] = prod / (tf_kw * (1.0 + ssum))
         return out
 

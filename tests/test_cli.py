@@ -262,3 +262,29 @@ def test_cross_dataset_pretrain_transfer(cli_run, tmp_path_factory):
     assert os.path.exists(f"{out2}/adapter_final.npz")
     log = [json.loads(l) for l in open(f"{out2}/metrics.jsonl")]
     assert any("loss" in r for r in log)
+
+
+def test_finetune_speech_modality(cli_run, tmp_path_factory):
+    """--modal=speech trains on the paired audio through the native log-mel
+    frontend (reference trains EEG only, but its SpeechDataset/eval pipeline
+    implies the capability; here it is a first-class training path)."""
+    from neuspeech1_tpu.cli.finetune import main as finetune
+
+    corpus, _ = cli_run
+    out = str(tmp_path_factory.mktemp("speechft"))
+    finetune([
+        f"--train_data={corpus}/train.jsonl",
+        "--modal=speech", "--base_model=random", "--tokenizer=byte",
+        "--max_steps=2", "--per_device_train_batch_size=2", "--ft_full=True",
+        "--learning_rate=0.001", "--warmup_steps=1", "--eval_steps=2",
+        "--save_steps=2", "--logging_steps=1", "--label_max_length=40",
+        f"--output_dir={out}",
+        "--d_model=32", "--encoder_layers=1", "--decoder_layers=1",
+        "--encoder_heads=2", "--decoder_heads=2", "--encoder_ffn=64",
+        "--decoder_ffn=64", "--max_target_positions=40",
+        "--bf16=False", "--remat=False", "--mesh_data=1",
+        "--num_workers=1", "--device_cache=off",
+    ])
+    log = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+    losses = [r["loss"] for r in log if "loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
