@@ -146,6 +146,13 @@ def main(argv=None):
             extract_type=args.bias_extract_type,
         )
 
+    if args.prompt_text and args.prompt_from_labels:
+        raise SystemExit(
+            "--prompt_text and --prompt_from_labels are mutually exclusive: "
+            "the per-sample gold-prefix path assumes the 4-token special "
+            "prefix, while a text prompt lengthens it (and slicing gold "
+            "prefixes of that length would leak labels into the decode)"
+        )
     if args.prompt_text:
         # <|startofprev|> text-prompt conditioning (reference
         # `utils/load_model.py:1258-1294` prompt_ids path)

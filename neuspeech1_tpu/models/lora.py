@@ -261,6 +261,63 @@ def adalora_total_ranks(lora: Params) -> int:
     return total
 
 
+def adalora_matrix_count(lora: Params) -> int:
+    """Number of (layer, matrix) adapted units — PEFT's len(name_set) × L."""
+    count = 0
+
+    def walk(tree):
+        nonlocal count
+        for v in tree.values():
+            if isinstance(v, dict) and "A" in v:
+                if "E" in v:
+                    count += int(v["E"].shape[0])
+            elif isinstance(v, dict):
+                walk(v)
+
+    walk(lora)
+    return count
+
+
+def adalora_apply_pattern(lora: Params, pattern: Params) -> Params:
+    """Re-apply a frozen 0/1 rank pattern: E ← E·mask (PEFT
+    `mask_using_rank_pattern`, called every step of the final phase because
+    pruned-rank E entries keep receiving gradients and regrow)."""
+    def rebuild(tree, pat):
+        out = {}
+        for key, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                if "E" not in v:
+                    out[key] = v
+                    continue
+                m = pat[key]
+                out[key] = {**v, "E": v["E"] * m,
+                            "mask": m.astype(v["mask"].dtype)}
+            elif isinstance(v, dict):
+                out[key] = rebuild(v, pat[key])
+            else:
+                out[key] = v
+        return out
+
+    return rebuild(lora, pattern)
+
+
+def adalora_pattern_of(lora: Params) -> Params:
+    """Extract the current 0/1 mask tree (rank pattern) from the adapters."""
+    def walk(tree):
+        out = {}
+        for key, v in tree.items():
+            if isinstance(v, dict) and "A" in v:
+                if "E" in v:
+                    out[key] = v["mask"]
+            elif isinstance(v, dict):
+                sub = walk(v)
+                if sub:
+                    out[key] = sub
+        return out
+
+    return walk(lora)
+
+
 def adalora_budget_schedule(
     step: int, init_bgt: int, target_bgt: int, tinit: int, tfinal: int,
     total_steps: int, deltaT: int,

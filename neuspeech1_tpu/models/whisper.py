@@ -121,11 +121,10 @@ def set_conv_cl_impl(name: str) -> None:
 def conv1d_cl(x, p: Params, stride: int = 1, padding: int = 1):
     """Channels-LAST 1-D conv over [B, T, C] (torch kernel [out, in, k]).
 
-    Default lowering is 'unfold': build [B, T_out, K*C] from K strided
-    slices and run ONE [K*C, O] matmul — XLA's native 1-D conv reaches only
-    ~10% MFU on these channel-heavy stems (measured 36 ms fwd for the
-    whisper-base EEG stem at bs64) while the unfold matmul maps straight
-    onto the MXU with a 624-deep contraction."""
+    Default lowering is XLA's native NHC conv — measured FASTER than the
+    'unfold' alternative (K strided slices + one [K*C, O] matmul) at the
+    whisper-base EEG stem geometry (+23 ms/step for unfold; BASELINE.md
+    round-2 rejects). 'unfold' stays selectable for other geometries."""
     w = p["w"].astype(x.dtype)  # [O, I, K]
     b = p["b"].astype(x.dtype)
     if _CONV_CL_IMPL == "unfold":

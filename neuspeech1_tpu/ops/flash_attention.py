@@ -385,8 +385,15 @@ def _bwd_arrays_bthd(qp, kp, vp, op, dop, lsep, scale, causal, block_q,
                      t_q, t_kv):
     b, tq_pad, h, d = qp.shape
     tk_pad = kp.shape[1]
-    # smaller q blocks than forward: dk/dv f32 output blocks are resident
-    block_q = min(block_q, 256)
+    # smaller q blocks than forward (dk/dv f32 output blocks are resident),
+    # but the caller padded Tq to the FORWARD block size — the backward
+    # block must divide tq_pad or the tail q-block would never run,
+    # leaving dq rows uninitialized and dk/dv missing contributions
+    # (tq_pad is always a multiple of 8)
+    bq = min(block_q, 256)
+    while tq_pad % bq:
+        bq -= 8
+    block_q = bq
     n_q_blocks = tq_pad // block_q
     dq, dk, dv = pl.pallas_call(
         functools.partial(

@@ -102,6 +102,7 @@ class Trainer:
                 self._tb = None
         self._last_eval_loss: Optional[float] = None
         self._eval_batch_size: Optional[int] = None
+        self._adalora_pattern = None  # frozen rank pattern (final phase)
         self._gen_tok = generate_eval_tokenizer
         self._gen_max_new = generate_eval_max_new
         self._gen_lang = generate_eval_language
@@ -313,8 +314,12 @@ class Trainer:
             return
         cfg = self.adalora
         init_bgt = adalora_total_ranks(lora)
-        init_r = cfg.get("init_r", 12)
-        n_matrices = max(init_bgt // max(init_r, 1), 1)
+        # matrix count comes from the tree itself — inferring it from the
+        # config's init_r breaks when the adapters were initialized with a
+        # different rank (budget would mis-scale and over/under-prune)
+        from neuspeech1_tpu.models.lora import adalora_matrix_count
+
+        n_matrices = max(adalora_matrix_count(lora), 1)
         total = cfg.get("total_steps", self.max_steps or 10_000)
         tfinal = cfg.get("tfinal", 1000)
         budget, mask_ind = adalora_budget_schedule(
@@ -327,15 +332,30 @@ class Trainer:
             cfg.get("deltaT", 10),
         )
         # PEFT force-masks at the boundary step (AdaLoraModel
-        # update_and_allocate force_mask=True at total_step - tfinal); after
-        # it, ipt is frozen so re-masking each step == PEFT's
-        # mask_using_rank_pattern (same threshold, same pattern, E re-zeroed)
-        if not (mask_ind or step_num == total - tfinal):
-            return
-        scores = adalora_triplet_scores(self.state.ipt)
-        new_lora = adalora_mask_to_budget(lora, scores, budget, init_bgt)
+        # update_and_allocate force_mask=True at total_step - tfinal); in
+        # the final phase the pattern is FROZEN and only re-applied each
+        # step (mask_using_rank_pattern: pruned-rank E entries keep
+        # receiving gradients and must be re-zeroed) — no score recompute,
+        # no global sort.
         import dataclasses
 
+        from neuspeech1_tpu.models.lora import (
+            adalora_apply_pattern, adalora_pattern_of,
+        )
+
+        if step_num > total - tfinal and self._adalora_pattern is not None:
+            new_lora = adalora_apply_pattern(lora, self._adalora_pattern)
+        elif mask_ind or step_num == total - tfinal:
+            scores = adalora_triplet_scores(self.state.ipt)
+            new_lora = adalora_mask_to_budget(lora, scores, budget, init_bgt)
+            if step_num >= total - tfinal:
+                # host-side snapshot: the live arrays get donated by the
+                # next jitted step and would be invalid buffers by then
+                self._adalora_pattern = jax.tree_util.tree_map(
+                    np.asarray, adalora_pattern_of(new_lora)
+                )
+        else:
+            return
         self.state = dataclasses.replace(
             self.state,
             trainable={**self.state.trainable, "lora": new_lora},

@@ -223,3 +223,23 @@ def test_bthd_partitioned_execution_on_mesh():
     gr = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(_ref_bthd(q, k, v))))(q, k, v)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("tq", [300, 448])
+def test_bthd_backward_tail_block_regression(tq):
+    """256 < Tq < 512 regression (round-2 review): the backward's reduced
+    q-block must divide the forward-padded Tq or tail dq rows are never
+    written (were NaN) and dk/dv lose their contributions."""
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    q, k, v = _qkv_bthd(b=1, h=2, tq=tq, tkv=tq)
+
+    def loss_f(fn):
+        return lambda q, k, v: jnp.sum(jnp.tanh(fn(q, k, v)))
+
+    g1 = jax.grad(loss_f(flash_attention_bthd), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_f(_ref_bthd), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4)
