@@ -141,6 +141,71 @@ def test_meteor_matches_nltk():
         assert ours == pytest.approx(theirs, abs=1e-9)
 
 
+class _FakeLemma:
+    def __init__(self, name):
+        self._n = name
+
+    def name(self):
+        return self._n
+
+
+class _FakeSynset:
+    def __init__(self, names):
+        self._l = [_FakeLemma(n) for n in names]
+
+    def lemmas(self):
+        return self._l
+
+
+class _FakeWordnet:
+    """Minimal nltk-wordnet duck type: synsets(w) -> [synset.lemmas()]."""
+
+    TABLE = {
+        "quick": [["quick", "fast", "speedy"]],
+        "fast": [["fast", "quick"], ["fast", "rapid"]],
+        "dog": [["dog", "canine", "multi_word_skipped"]],
+        "happy": [["happy", "glad"]],
+        "sofa": [["sofa", "couch"]],
+    }
+
+    def synsets(self, word):
+        return [_FakeSynset(names) for names in self.TABLE.get(word, [])]
+
+
+def test_meteor_wordnet_stage_matches_nltk():
+    """Synonym-stage parity vs nltk with the SAME injected wordnet backend
+    (nltk `single_meteor_score(..., wordnet=...)`) — runs without the corpus
+    download the zero-egress image lacks."""
+    from nltk.translate.meteor_score import single_meteor_score as nltk_meteor
+
+    wn = _FakeWordnet()
+    cases = [
+        ("the fast dog runs", "the quick canine runs"),     # 2 synonym matches
+        ("a glad couch", "a happy sofa"),                   # hyp-side synsets
+        ("fast fast dog", "quick rapid canine"),            # multi-synset word
+        ("no synonyms here", "none at all"),
+        ("quick", "quick"),
+        # duplicate surface forms: pairing order (reverse hyp scan, latest
+        # ref position) changes the chunk count — parity-sensitive
+        ("the the fast the", "the quick the the"),
+        ("fast dog fast dog", "dog fast quick canine"),
+        ("happy happy glad", "glad happy happy"),
+        # stems feed the wordnet stage (nltk quirk): 'dogs' stems to 'dog',
+        # whose synset contains 'canine'
+        ("the dogs", "the canine"),
+    ]
+    for hyp, ref in cases:
+        ours = meteor.single_meteor_score(ref.split(), hyp.split(), wordnet=wn)
+        theirs = nltk_meteor(ref.split(), hyp.split(), wordnet=wn)
+        assert ours == pytest.approx(theirs, abs=1e-9), (hyp, ref)
+    # the stage actually fires: score with synonyms > score without
+    with_wn = meteor.single_meteor_score(
+        "the quick canine runs".split(), "the fast dog runs".split(), wordnet=wn)
+    without = meteor.single_meteor_score(
+        "the quick canine runs".split(), "the fast dog runs".split())
+    assert with_wn > without
+
+
 def test_battery_merge_and_files(tmp_path):
     m = battery.compute_battery(PREDS, REFS)
     for key in ("wer", "mer", "wil", "wip", "cer", "bleu-1", "bleu-4",
