@@ -165,17 +165,19 @@ def attention(
     logits_dtype=jnp.float32,
     use_flash: bool = False,
     causal: bool = False,
+    kv_len: Optional[int] = None,
 ):
     """SDPA on [B, T, H, Dh] (BTHD) tensors; softmax in fp32 for stability.
 
     With `use_flash` (and no explicit mask, or a plain causal pattern) the
     Pallas flash kernel runs instead — no [B, H, T, T] HBM intermediates
-    (see `ops/flash_attention.py`).
+    (see `ops/flash_attention.py`). ``kv_len`` masks zero-padded K/V rows
+    (only meaningful on the flash path; the XLA path takes explicit masks).
     """
     if use_flash:
         from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
 
-        return flash_attention_bthd(q, k, v, causal=causal)
+        return flash_attention_bthd(q, k, v, causal=causal, kv_len=kv_len)
     dh = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(logits_dtype)
     scores = scores * (dh ** -0.5)
@@ -196,6 +198,7 @@ def mha(
     cache_index=None,
     use_flash: bool = False,
     causal: bool = False,
+    kv_len: Optional[int] = None,
 ):
     """Multi-head attention with optional cross-attention and KV cache.
 
@@ -221,7 +224,8 @@ def mha(
             new_cache = {"k": k, "v": v}
         else:
             new_cache = None
-    out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal)
+    out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal,
+                    kv_len=kv_len)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
@@ -327,13 +331,15 @@ def _remat_policy(config: WhisperConfig):
     return None
 
 
-def _encoder_layer(h, layer_p, n_heads, lora=None, use_flash=False):
+def _encoder_layer(h, layer_p, n_heads, lora=None, use_flash=False,
+                   kv_len=None):
     from jax.ad_checkpoint import checkpoint_name
 
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
     x, _ = mha(x, layer_p["self_attn"], n_heads,
-               lora=(lora or {}).get("self_attn"), use_flash=use_flash)
+               lora=(lora or {}).get("self_attn"), use_flash=use_flash,
+               kv_len=kv_len)
     x = checkpoint_name(x, "attn_out")  # saveable under remat_policy='attn'
     h = res + x
     res = h
@@ -377,7 +383,26 @@ def encoder_apply(
 
     enc_lora = (lora or {}).get("encoder", {}).get("layers")
     use_flash = resolve_flash(config, h.shape[1])
-    layer_fn = functools.partial(_encoder_layer, use_flash=use_flash)
+
+    # Run the layer stack at T padded to the flash q-block multiple so the
+    # kernels see already-aligned tensors: the per-call jnp.pad/slice ops
+    # around the kernel (8 pads + 4 slices per layer, ~43 ms/step at
+    # whisper-base bs64 — round-2 device profile) become no-ops and vanish.
+    # Padded rows carry garbage-but-finite values; K/V padding is masked
+    # inside the kernel via kv_len, and the rows are sliced off at the end.
+    kv_len = None
+    t_valid = h.shape[1]
+    if use_flash:
+        from neuspeech1_tpu.ops.flash_attention import (
+            DEFAULT_BLOCK_Q, _round_up)
+
+        t_pad = _round_up(t_valid, min(DEFAULT_BLOCK_Q, 512))
+        if t_pad != t_valid:
+            h = jnp.pad(h, ((0, 0), (0, t_pad - t_valid), (0, 0)))
+            kv_len = t_valid
+
+    layer_fn = functools.partial(_encoder_layer, use_flash=use_flash,
+                                 kv_len=kv_len)
     if config.remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(2,), policy=_remat_policy(config)
@@ -393,6 +418,8 @@ def encoder_apply(
             return layer_fn(carry, layer_p, config.encoder_heads, layer_l), None
         h, _ = lax.scan(body, h, (enc["layers"], enc_lora))
 
+    if h.shape[1] != t_valid:
+        h = h[:, :t_valid]
     return layer_norm(h, enc["ln_post"])
 
 

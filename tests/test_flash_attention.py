@@ -243,3 +243,138 @@ def test_bthd_backward_tail_block_regression(tq):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-4)
+
+
+# ----------------------------------------------------------------------
+# BTC ([B, T, H*D]) kernel — the production layout: 3-D blocks, two heads
+# per 128-lane block, no transposes or head reshapes around the kernel
+# ----------------------------------------------------------------------
+
+def _force_btc(monkeypatch):
+    monkeypatch.setenv("NEUSPEECH_FLASH_LAYOUT", "btc")
+
+
+@pytest.mark.parametrize("b,h,d,tq,tkv,causal", [
+    (2, 8, 64, 128, 128, False),   # whisper head geometry, aligned
+    (1, 4, 64, 40, 70, False),     # unaligned Tq/Tkv -> wrapper pads
+    (1, 8, 64, 96, 96, True),      # causal
+    (2, 4, 32, 33, 60, False),     # 4 heads per 128-lane block
+])
+def test_btc_forward_parity(monkeypatch, b, h, d, tq, tkv, causal):
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    _force_btc(monkeypatch)
+    q, k, v = _qkv_bthd(b=b, h=h, tq=tq, tkv=tkv, d=d)
+    out = flash_attention_bthd(q, k, v, causal=causal)
+    ref = _ref_bthd(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_btc_backward_parity(monkeypatch):
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    _force_btc(monkeypatch)
+    q, k, v = _qkv_bthd(b=1, h=8, tq=48, tkv=40, d=64)
+
+    def loss_f(fn):
+        return lambda q, k, v: jnp.sum(jnp.tanh(fn(q, k, v)))
+
+    g1 = jax.grad(loss_f(flash_attention_bthd), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_f(_ref_bthd), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_btc_kv_len_masks_padded_rows(monkeypatch, causal):
+    """kv_len semantics: zero-padded K/V rows must not contribute — fwd AND
+    bwd equal the unpadded reference, and padded-row dk/dv are exactly 0."""
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    _force_btc(monkeypatch)
+    t, t_pad = 40, 64
+    q, k, v = _qkv_bthd(b=1, h=8, tq=t_pad if causal else 24, tkv=t, d=64)
+    kp = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    if causal:
+        # causal requires Tq == Tkv: compare padded-causal vs masked ref on
+        # the first t query rows only
+        out = flash_attention_bthd(q, kp, vp, causal=True, kv_len=t)
+        ref = _ref_bthd(q[:, :t], k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out[:, :t]), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        return
+    out = flash_attention_bthd(q, kp, vp, kv_len=t)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+    def loss(fn, *args):
+        return jnp.sum(jnp.tanh(fn(*args)))
+
+    gq, gk, gv = jax.grad(
+        lambda q, k, v: loss(flash_attention_bthd, q, k, v, False, None, t),
+        argnums=(0, 1, 2))(q, kp, vp)
+    rq, rk, rv = jax.grad(
+        lambda q, k, v: loss(_ref_bthd, q, k, v), argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk[:, :t]), np.asarray(rk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv[:, :t]), np.asarray(rv),
+                               rtol=2e-4, atol=2e-4)
+    assert np.abs(np.asarray(gk[:, t:])).max() == 0.0
+    assert np.abs(np.asarray(gv[:, t:])).max() == 0.0
+
+
+def test_btc_partitioned_execution_on_mesh(monkeypatch):
+    """BTC kernel shards over the batch dim (data/fsdp) without resharding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    _force_btc(monkeypatch)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    q, k, v = _qkv_bthd(b=8, h=8, tq=32, tkv=32, d=64)
+    sh = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    @jax.jit
+    def f(q, k, v):
+        return flash_attention_bthd(q, k, v)
+
+    out = f(qs, ks, vs)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+    g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        jnp.tanh(flash_attention_bthd(q, k, v)))))(qs, ks, vs)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(_ref_bthd(q, k, v))))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_encoder_padded_t_matches_unpadded():
+    """The flash encoder runs its layer stack at T padded to the q-block
+    multiple (kv_len-masked); outputs on valid rows must equal the XLA
+    (unpadded) path."""
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    from tests.test_train import make_batch, mini_cfg
+
+    cfg_off = mini_cfg(flash_attention="off")
+    cfg_on = mini_cfg(flash_attention="on")
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(3), cfg_off, stem)
+    batch = make_batch(cfg_off, stem, b=2)
+    ref = jw.encoder_apply(params, batch["input_features"], cfg_off, stem)
+    out = jw.encoder_apply(params, batch["input_features"], cfg_on, stem)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
