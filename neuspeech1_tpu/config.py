@@ -87,9 +87,11 @@ class WhisperConfig:
     # at whisper-base bs64) | 'flash_mlp' | 'everything' | 'dots' | 'attn'
     remat_policy: str = "flash_qkv"
     flash_attention: str = "auto"  # 'auto'|'on'|'off' — Pallas flash kernel
-    # flash pays off only for long query blocks; the training decoder
-    # (teacher forcing, T≈64) is faster on the XLA path
-    decoder_flash_min_q: int = 256
+    # minimum teacher-forcing query length for flash in the decoder. With
+    # the BTC-layout kernels (no transposes/pads around the call) flash wins
+    # even at T=64: 280.5 -> 264.8 ms/step at whisper-base bs64 (round-2
+    # device measurements; the old BHTD path lost 22 ms there).
+    decoder_flash_min_q: int = 1
 
     @property
     def timestamp_begin(self) -> int:

@@ -581,21 +581,26 @@ def _bwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
 
+        # dots take operands in the INPUT dtype (MXU-native bf16 when the
+        # model runs bf16; f32 inputs keep full precision) with f32
+        # accumulation — matching what XLA autodiff of the reference
+        # attention emits (probs are cast to the value dtype there too)
+        op_t = q_ref.dtype
         do_f = do.astype(jnp.float32)
         dv_acc[:, sl] += jax.lax.dot_general(
-            p, do_f, (((0,), (0,)), ((), ())),
+            p.astype(op_t), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do_f, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         delta = jnp.sum(do_f * o.astype(jnp.float32), axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(op_t)
         dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_acc[:, sl] += jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(qb == n_q_blocks - 1)

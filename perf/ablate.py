@@ -16,7 +16,8 @@ BS = 64
 
 
 def measure(tag, config, in_ch=208, label_len=64, lora_rank=32,
-            fold_lora=True, no_update=False, K=20):
+            fold_lora=True, no_update=False, K=20, batch_size=None):
+    bs = batch_size or BS
     stem = StemConfig("base", in_channels=in_ch)
     params = init_params(jax.random.key(0), config, stem)
     lora = (init_lora(jax.random.key(1), config, rank=lora_rank, alpha=64)
@@ -47,11 +48,11 @@ def measure(tag, config, in_ch=208, label_len=64, lora_rank=32,
     rng = np.random.default_rng(0)
     batch = {
         "input_features": jnp.asarray(
-            rng.standard_normal((BS, in_ch, 6000)).astype(np.float32)),
+            rng.standard_normal((bs, in_ch, 6000)).astype(np.float32)),
         "labels": jnp.asarray(
-            rng.integers(0, 50000, (BS, label_len)).astype(np.int32)),
+            rng.integers(0, 50000, (bs, label_len)).astype(np.int32)),
         "decoder_input_ids": jnp.asarray(
-            rng.integers(0, 50000, (BS, label_len)).astype(np.int32)),
+            rng.integers(0, 50000, (bs, label_len)).astype(np.int32)),
     }
     try:
         t0 = time.perf_counter()
@@ -90,7 +91,10 @@ VARIANTS = {
     "nofold": lambda: measure("nofold", C(remat=True), fold_lora=False),
     "nolora": lambda: measure("nolora", C(remat=True), lora_rank=0),
     "noupd": lambda: measure("noupd", C(remat=True), no_update=True),
-    "ffn_pad": lambda: measure("ffn_pad", C(remat=True)),  # placeholder
+    "polmlp": lambda: measure("polmlp", C(remat=True, remat_policy="flash_mlp")),
+    "polflash": lambda: measure("polflash", C(remat=True, remat_policy="flash")),
+    "decflash": lambda: measure("decflash", C(remat=True, decoder_flash_min_q=1)),
+    "bs128": lambda: measure("bs128", C(remat=True), batch_size=128, K=10),
 }
 
 if __name__ == "__main__":
