@@ -187,6 +187,39 @@ def attention(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+# Fused q/k/v projection (one dot through column-concatenated weights) is a
+# measured REJECT on this hardware in BOTH regimes (round-2 A/B): training
+# scans +14 ms/step (the per-layer weight concat inside the scan outweighs
+# the op-count win) and incremental decode 4.72->4.78 ms/token. Kept
+# selectable for other geometries: '1' fuse everywhere, 'decode' fuse only
+# the decode cache path, '0' (default) never.
+_FUSED_QKV = _os.environ.get("NEUSPEECH_FUSED_QKV", "0")
+
+
+def _linear_cat(x, ps):
+    """One dot through the column-concat of several linears' weights,
+    returning per-linear output slices. The projections' FLOPs are
+    identical; one wide MXU op replaces N narrow ones (fewer fixed
+    overheads, better N-dim tiling). Used on the fold_lora hot path where
+    no per-matrix LoRA delta applies (callers fall back otherwise)."""
+    wcat = jnp.concatenate([p["w"] for p in ps], axis=1).astype(x.dtype)
+    out = jnp.dot(x, wcat)
+    if any(("b" in p and p["b"] is not None) for p in ps):
+        bcat = jnp.concatenate([
+            p["b"] if ("b" in p and p["b"] is not None)
+            else jnp.zeros((p["w"].shape[1],), p["w"].dtype)
+            for p in ps
+        ]).astype(x.dtype)
+        out = out + bcat
+    res = []
+    off = 0
+    for p in ps:
+        s = p["w"].shape[1]
+        res.append(lax.slice_in_dim(out, off, off + s, axis=-1))
+        off += s
+    return res
+
+
 def mha(
     x,
     p: Params,
@@ -209,21 +242,46 @@ def mha(
     """
     lora = lora or {}
     src = x if kv_source is None else kv_source
-    q = _split_heads(linear(x, p["q"], lora.get("q")), n_heads)
-    if cache is not None and kv_source is not None and cache_index is None:
-        # cross-attention with precomputed encoder K/V
-        k, v = cache["k"], cache["v"]
-        new_cache = cache
-    else:
-        k = _split_heads(linear(src, p["k"], lora.get("k")), n_heads)
-        v = _split_heads(linear(src, p["v"], lora.get("v")), n_heads)
+    # fused projections apply when no per-matrix LoRA delta is live and K/V
+    # are computed this call; see _FUSED_QKV for the train/decode split
+    is_decode_self = cache is not None and kv_source is None
+    fuse = not lora and (
+        _FUSED_QKV == "1" if cache is None
+        else (_FUSED_QKV in ("1", "decode") and is_decode_self)
+    )
+    if fuse and kv_source is None:
+        qh, kh, vh = _linear_cat(x, (p["q"], p["k"], p["v"]))
+        q = _split_heads(qh, n_heads)
+        k = _split_heads(kh, n_heads)
+        v = _split_heads(vh, n_heads)
         if cache is not None:
-            # write at cache_index along the time axis (dim 1 in BTHD)
             k = lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
             v = lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
         else:
             new_cache = None
+    elif fuse:
+        q = _split_heads(linear(x, p["q"]), n_heads)
+        kh, vh = _linear_cat(src, (p["k"], p["v"]))
+        k = _split_heads(kh, n_heads)
+        v = _split_heads(vh, n_heads)
+        new_cache = None
+    else:
+        q = _split_heads(linear(x, p["q"], lora.get("q")), n_heads)
+        if cache is not None and kv_source is not None and cache_index is None:
+            # cross-attention with precomputed encoder K/V
+            k, v = cache["k"], cache["v"]
+            new_cache = cache
+        else:
+            k = _split_heads(linear(src, p["k"], lora.get("k")), n_heads)
+            v = _split_heads(linear(src, p["v"], lora.get("v")), n_heads)
+            if cache is not None:
+                # write at cache_index along the time axis (dim 1 in BTHD)
+                k = lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+                v = lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
+                new_cache = {"k": k, "v": v}
+            else:
+                new_cache = None
     out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal,
                     kv_len=kv_len)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
