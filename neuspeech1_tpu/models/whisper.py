@@ -196,6 +196,28 @@ def attention(
 _FUSED_QKV = _os.environ.get("NEUSPEECH_FUSED_QKV", "0")
 
 
+# Streaming decode-cross kernel is a measured REJECT on v5e at whisper-base
+# bs64 (greedy slope 4.78 -> 8.42 ms/token): one grid instance per batch row
+# serializes tiny-M dots with full pipeline latency, losing to XLA's single
+# batched matmul over [B*H] despite touching the same HBM bytes. Kept
+# selectable for geometries with much longer K/V.
+_FLASH_DECODE = _os.environ.get("NEUSPEECH_FLASH_DECODE", "0") == "1"
+
+
+def _decode_cross_ok(k) -> bool:
+    """Route incremental-decode cross-attention to the streaming Pallas
+    kernel (TPU only — CPU tests keep the XLA path; kernel parity is
+    covered in interpret mode separately)."""
+    if not _FLASH_DECODE:
+        return False
+    from neuspeech1_tpu.ops.flash_attention import (
+        decode_cross_available, on_tpu)
+
+    d = k.shape[-1]
+    return (on_tpu() and d in (32, 64, 128)
+            and decode_cross_available(k.shape[1], d, k.shape[2]))
+
+
 def _linear_cat(x, ps):
     """One dot through the column-concat of several linears' weights,
     returning per-linear output slices. The projections' FLOPs are
@@ -269,9 +291,30 @@ def mha(
     else:
         q = _split_heads(linear(x, p["q"], lora.get("q")), n_heads)
         if cache is not None and kv_source is not None and cache_index is None:
-            # cross-attention with precomputed encoder K/V
+            # cross-attention with precomputed encoder K/V. The cache keeps
+            # K/V in [B, H, Tkv, Dh] (BHTD) so each (b, h) pane is read as
+            # one contiguous stream — incremental decode re-reads the WHOLE
+            # cross cache every token (~1.2 GB/token at whisper-base bs64)
+            # and the head-strided [B,T,H,D] layout measured at only half
+            # HBM bandwidth (0.26 ms per 100 MB einsum; device profile).
             k, v = cache["k"], cache["v"]
-            new_cache = cache
+            if mask is None and _decode_cross_ok(k):
+                from neuspeech1_tpu.ops.flash_attention import (
+                    flash_decode_cross)
+
+                out = flash_decode_cross(
+                    q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+                return linear(_merge_heads(out), p["out"],
+                              lora.get("out")), cache
+            dh = q.shape[-1]
+            scores = jnp.einsum("bqhd,bhkd->bhqk", q, k).astype(jnp.float32)
+            scores = scores * (dh ** -0.5)
+            if mask is not None:
+                scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bqhd", probs, v)
+            return linear(_merge_heads(out), p["out"],
+                          lora.get("out")), cache
         else:
             k = _split_heads(linear(src, p["k"], lora.get("k")), n_heads)
             v = _split_heads(linear(src, p["v"], lora.get("v")), n_heads)
@@ -623,7 +666,9 @@ def decoder_apply(
 def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
-    BTHD layout: self k/v [L, B, max_len, H, Dh]; cross [L, B, T_src, H, Dh].
+    self k/v: [L, B, max_len, H, Dh] (BTHD — rows written incrementally);
+    cross k/v: [L, B, H, T_src, Dh] (BHTD — transposed ONCE here so the
+    per-token full-cache reads stream contiguously; see `mha`).
     """
     dtype = jnp.dtype(config.dtype)
     dec = params["decoder"]
@@ -635,7 +680,7 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int):
     def per_layer_cross(layer_p):
         k = _split_heads(linear(enc_out.astype(dtype), layer_p["cross_attn"]["k"]), h)
         v = _split_heads(linear(enc_out.astype(dtype), layer_p["cross_attn"]["v"]), h)
-        return {"k": k, "v": v}
+        return {"k": k.transpose(0, 2, 1, 3), "v": v.transpose(0, 2, 1, 3)}
 
     cross = jax.vmap(per_layer_cross)(dec["layers"])
     zeros = jnp.zeros((L, b, max_len, h, dh), dtype)

@@ -678,6 +678,79 @@ def _fwd_btc(q, k, v, scale, causal, block_q, kv_len, d_head):
                               d_head)
     return o[:, :t_q], lse
 
+
+# ----------------------------------------------------------------------
+# Decode cross-attention kernel: incremental decode reads the ENTIRE cross
+# K/V cache every token (whisper-base bs64: ~200 MB/layer/token, 1.2 GB
+# per token over 6 layers) — the decode bottleneck is pure HBM streaming.
+# XLA's materialized path measures ~3x off the bandwidth floor; this kernel
+# streams K/V through VMEM once with all heads in a single [1,Tk,C] block
+# (fits: 2 x 1.5 MB at whisper-base) and tiny-q dots per head. Inference
+# only — no VJP. Grid (B,).
+# ----------------------------------------------------------------------
+
+
+def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_kv,
+                         d_head, n_heads):
+    for hh in range(n_heads):
+        sl = slice(hh * d_head, (hh + 1) * d_head)
+        q = q_ref[0, :, sl]                  # [Tq, D] (Tq tiny)
+        k = k_ref[0, :, sl]                  # [Tk_pad, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx < t_kv, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def flash_decode_cross(q, k, v, kv_len: Optional[int] = None):
+    """Cross-attention for incremental decode: q [B, Tq, H, D] with tiny Tq
+    (1 for a decode step, prompt length at prefill); k, v [B, Tkv, H, D]
+    precomputed encoder K/V. Returns [B, Tq, H, D] in q.dtype."""
+    b, t_q, h, d = q.shape
+    t_kv = kv_len if kv_len is not None else k.shape[1]
+    c = h * d
+    tk_pad = _round_up(k.shape[1], _LANE)
+    q3 = q.reshape(b, t_q, c)
+    k3 = jnp.pad(k.reshape(b, k.shape[1], c),
+                 ((0, 0), (0, tk_pad - k.shape[1]), (0, 0)))
+    v3 = jnp.pad(v.reshape(b, v.shape[1], c),
+                 ((0, 0), (0, tk_pad - v.shape[1]), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_cross_kernel, scale=d ** -0.5, t_kv=t_kv, d_head=d,
+            n_heads=h,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_q, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_q, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_q, c), q.dtype),
+        interpret=not on_tpu(),
+    )(q3, k3, v3)
+    return out.reshape(b, t_q, h, d)
+
+
+def decode_cross_available(t_kv: int, d: int, n_heads: int) -> bool:
+    """K/V blocks (all heads) must fit VMEM alongside double buffering."""
+    tk_pad = _round_up(t_kv, _LANE)
+    return tk_pad * d * n_heads * 2 * 2 * 2 < 14 * 1024 * 1024
+
+
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as _P
 

@@ -378,3 +378,29 @@ def test_encoder_padded_t_matches_unpadded():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("tq,tkv", [(1, 100), (4, 1500), (2, 130)])
+def test_decode_cross_kernel_parity(tq, tkv):
+    """Streaming decode cross-attention kernel (used on TPU for the
+    incremental-decode cache path) vs the XLA reference."""
+    from neuspeech1_tpu.ops.flash_attention import flash_decode_cross
+
+    q, k, v = _qkv_bthd(b=2, h=8, tq=tq, tkv=tkv, d=64)
+    out = flash_decode_cross(q, k, v)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_decode_cross_kernel_kv_len():
+    from neuspeech1_tpu.ops.flash_attention import flash_decode_cross
+
+    t, t_store = 90, 128
+    q, k, v = _qkv_bthd(b=1, h=4, tq=1, tkv=t, d=64)
+    kp = jnp.pad(k, ((0, 0), (0, t_store - t), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, t_store - t), (0, 0), (0, 0)))
+    out = flash_decode_cross(q, kp, vp, kv_len=t)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
