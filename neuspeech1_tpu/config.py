@@ -92,6 +92,13 @@ class WhisperConfig:
     # even at T=64: 280.5 -> 264.8 ms/step at whisper-base bs64 (round-2
     # device measurements; the old BHTD path lost 22 ms there).
     decoder_flash_min_q: int = 1
+    # lax.scan unroll over the stacked layers. 0 = auto: FULL unroll on TPU
+    # (264->250 ms/step at whisper-base bs64 — XLA drops the scan-carry
+    # dynamic-update-slice stacking and schedules across layer boundaries;
+    # compile ~49 s vs 14 s), scan with one compiled body elsewhere (keeps
+    # CPU test compiles O(1) in depth). Partial unroll measured WORSE
+    # (unroll=2: 295 ms).
+    scan_unroll: int = 0
 
     @property
     def timestamp_begin(self) -> int:

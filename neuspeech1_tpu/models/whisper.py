@@ -147,6 +147,16 @@ def conv1d_cl(x, p: Params, stride: int = 1, padding: int = 1):
     ) + b
 
 
+def _scan_unroll(config: WhisperConfig):
+    """0 = auto: full unroll on TPU (scheduling/stacking win, measured),
+    plain scan elsewhere (O(1) compile for CPU tests)."""
+    if config.scan_unroll:
+        return config.scan_unroll
+    from neuspeech1_tpu.ops.flash_attention import on_tpu
+
+    return True if on_tpu() else 1
+
+
 def _split_heads(x, n_heads: int):
     """[B, T, D] -> [B, T, H, Dh] — a pure reshape. Heads live on dim 2
     (BTHD layout) so NO transpose brackets the attention kernel; both the
@@ -519,12 +529,12 @@ def encoder_apply(
     if enc_lora is None:
         def body(carry, layer_p):
             return layer_fn(carry, layer_p, config.encoder_heads), None
-        h, _ = lax.scan(body, h, enc["layers"])
+        h, _ = lax.scan(body, h, enc["layers"], unroll=_scan_unroll(config))
     else:
         def body(carry, xs):
             layer_p, layer_l = xs
             return layer_fn(carry, layer_p, config.encoder_heads, layer_l), None
-        h, _ = lax.scan(body, h, (enc["layers"], enc_lora))
+        h, _ = lax.scan(body, h, (enc["layers"], enc_lora), unroll=_scan_unroll(config))
 
     if return_padded:
         return layer_norm(h, enc["ln_post"]), t_valid
@@ -623,7 +633,7 @@ def decoder_apply(
                     use_flash=use_flash, cross_kv_len=kv_len,
                 )
                 return out, None
-            h, _ = lax.scan(body, h, dec["layers"])
+            h, _ = lax.scan(body, h, dec["layers"], unroll=_scan_unroll(config))
         else:
             def body(carry, xs):
                 layer_p, layer_l = xs
@@ -632,7 +642,7 @@ def decoder_apply(
                     lora=layer_l, use_flash=use_flash, cross_kv_len=kv_len,
                 )
                 return out, None
-            h, _ = lax.scan(body, h, (dec["layers"], dec_lora))
+            h, _ = lax.scan(body, h, (dec["layers"], dec_lora), unroll=_scan_unroll(config))
         new_cache = None
     else:
         def body(carry, xs):
