@@ -95,6 +95,7 @@ VARIANTS = {
     "polflash": lambda: measure("polflash", C(remat=True, remat_policy="flash")),
     "decflash": lambda: measure("decflash", C(remat=True, decoder_flash_min_q=1)),
     "bs128": lambda: measure("bs128", C(remat=True), batch_size=128, K=10),
+    "noremat": lambda: measure("noremat", C(remat=False)),
     "unroll2": lambda: measure("unroll2", C(remat=True, scan_unroll=2)),
     "unroll6": lambda: measure("unroll6", C(remat=True, scan_unroll=6)),
 }
