@@ -119,7 +119,12 @@ def main():
         config, state, frozen, step = build(remat=False)
         state, m = step(state, frozen, batch)
         float(jax.device_get(m["loss"]))
-    except Exception:
+    except Exception as e:
+        import sys
+
+        print(f"[bench] remat=False path failed ({type(e).__name__}: "
+              f"{str(e)[:200]}); falling back to remat=True",
+              file=sys.stderr, flush=True)
         config, state, frozen, step = build(remat=True)
         state, m = step(state, frozen, batch)
         float(jax.device_get(m["loss"]))
@@ -188,6 +193,7 @@ def main():
         "train_step_ms": round(dt * 1e3, 1),
         "mfu": round(mfu, 3),
         "fwd_gflops_per_sample": round(flops / 1e9, 1),
+        "remat": config.remat,  # which config actually ran (False = fast path)
     }
     if decode_tps is not None:
         result["decode_tokens_per_sec"] = round(decode_tps, 1)

@@ -217,7 +217,8 @@ _FLASH_DECODE = _os.environ.get("NEUSPEECH_FLASH_DECODE", "0") == "1"
 def _decode_cross_ok(k) -> bool:
     """Route incremental-decode cross-attention to the streaming Pallas
     kernel (TPU only — CPU tests keep the XLA path; kernel parity is
-    covered in interpret mode separately)."""
+    covered in interpret mode separately). ``k`` is the cross cache in its
+    BHTD layout [B, H, T_src, Dh]."""
     if not _FLASH_DECODE:
         return False
     from neuspeech1_tpu.ops.flash_attention import (
@@ -225,7 +226,7 @@ def _decode_cross_ok(k) -> bool:
 
     d = k.shape[-1]
     return (on_tpu() and d in (32, 64, 128)
-            and decode_cross_available(k.shape[1], d, k.shape[2]))
+            and decode_cross_available(k.shape[2], d, k.shape[1]))
 
 
 def _linear_cat(x, ps):
@@ -312,8 +313,7 @@ def mha(
                 from neuspeech1_tpu.ops.flash_attention import (
                     flash_decode_cross)
 
-                out = flash_decode_cross(
-                    q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+                out = flash_decode_cross(q, k, v)
                 return linear(_merge_heads(out), p["out"],
                               lora.get("out")), cache
             dh = q.shape[-1]
@@ -511,10 +511,9 @@ def encoder_apply(
     kv_len = None
     t_valid = h.shape[1]
     if use_flash:
-        from neuspeech1_tpu.ops.flash_attention import (
-            DEFAULT_BLOCK_Q, _round_up)
+        from neuspeech1_tpu.ops.flash_attention import btc_block_q, _round_up
 
-        t_pad = _round_up(t_valid, min(DEFAULT_BLOCK_Q, 512))
+        t_pad = _round_up(t_valid, btc_block_q(t_valid))
         if t_pad != t_valid:
             h = jnp.pad(h, ((0, 0), (0, t_pad - t_valid), (0, 0)))
             kv_len = t_valid

@@ -617,12 +617,12 @@ def _bwd_arrays_btc(qp, kp, vp, op, dop, lsep, scale, causal, block_q,
     n_heads = c // d_head
     hp_cols = hp * d_head
     # the backward block must divide tq_pad (the caller pads to the FORWARD
-    # block size) and keep the lse block's lane dim a 128-multiple
-    bq = min(block_q, 512)
-    while tq_pad % bq or bq % _LANE:
+    # block size) and keep the lse block's lane dim a 128-multiple. The
+    # entry point quantizes block_q to a lane multiple, so tq_pad is a lane
+    # multiple too and this search always terminates at >= _LANE.
+    bq = min(block_q, 512) // _LANE * _LANE
+    while bq > _LANE and tq_pad % bq:
         bq -= _LANE
-    if bq <= 0:
-        bq = tq_pad
     n_q_blocks = tq_pad // bq
     dq, dk, dv = pl.pallas_call(
         functools.partial(
@@ -690,65 +690,62 @@ def _fwd_btc(q, k, v, scale, causal, block_q, kv_len, d_head):
 # ----------------------------------------------------------------------
 
 
-def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_kv,
-                         d_head, n_heads):
-    for hh in range(n_heads):
-        sl = slice(hh * d_head, (hh + 1) * d_head)
-        q = q_ref[0, :, sl]                  # [Tq, D] (Tq tiny)
-        k = k_ref[0, :, sl]                  # [Tk_pad, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kv_idx < t_kv, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) / l
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_kv):
+    q = q_ref[0]                         # [Tq, D] (Tq tiny)
+    k = k_ref[0]                         # [Tk_pad, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_idx < t_kv, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / l
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def flash_decode_cross(q, k, v, kv_len: Optional[int] = None):
-    """Cross-attention for incremental decode: q [B, Tq, H, D] with tiny Tq
-    (1 for a decode step, prompt length at prefill); k, v [B, Tkv, H, D]
-    precomputed encoder K/V. Returns [B, Tq, H, D] in q.dtype."""
+    """Cross-attention for incremental decode. q [B, Tq, H, D] with tiny Tq
+    (1 for a decode step, prompt length at prefill); k, v **[B, H, Tkv, D]**
+    — the decode cache's BHTD layout, read natively ([B,H,Tkv,D] ->
+    [B*H,Tkv,D] is a free reshape; only the tiny q is transposed). Returns
+    [B, Tq, H, D] in q.dtype. Grid (B*H,)."""
     b, t_q, h, d = q.shape
-    t_kv = kv_len if kv_len is not None else k.shape[1]
-    c = h * d
-    tk_pad = _round_up(k.shape[1], _LANE)
-    q3 = q.reshape(b, t_q, c)
-    k3 = jnp.pad(k.reshape(b, k.shape[1], c),
-                 ((0, 0), (0, tk_pad - k.shape[1]), (0, 0)))
-    v3 = jnp.pad(v.reshape(b, v.shape[1], c),
-                 ((0, 0), (0, tk_pad - v.shape[1]), (0, 0)))
+    t_src = k.shape[2]
+    t_kv = kv_len if kv_len is not None else t_src
+    tk_pad = _round_up(t_src, _LANE)
+    qb = q.transpose(0, 2, 1, 3).reshape(b * h, t_q, d)
+    kb = jnp.pad(k.reshape(b * h, t_src, d),
+                 ((0, 0), (0, tk_pad - t_src), (0, 0)))
+    vb = jnp.pad(v.reshape(b * h, t_src, d),
+                 ((0, 0), (0, tk_pad - t_src), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(
-            _decode_cross_kernel, scale=d ** -0.5, t_kv=t_kv, d_head=d,
-            n_heads=h,
-        ),
-        grid=(b,),
+        functools.partial(_decode_cross_kernel, scale=d ** -0.5, t_kv=t_kv),
+        grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, t_q, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, t_q, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_q, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, t_q, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_q, c), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_q, d), q.dtype),
         interpret=not on_tpu(),
-    )(q3, k3, v3)
-    return out.reshape(b, t_q, h, d)
+    )(qb, kb, vb)
+    return out.reshape(b, h, t_q, d).transpose(0, 2, 1, 3)
 
 
 def decode_cross_available(t_kv: int, d: int, n_heads: int) -> bool:
-    """K/V blocks (all heads) must fit VMEM alongside double buffering."""
+    """Per-(batch, head) K/V blocks must fit VMEM with double buffering."""
+    del n_heads  # grid is (B*H,); VMEM holds one head's K/V at a time
     tk_pad = _round_up(t_kv, _LANE)
-    return tk_pad * d * n_heads * 2 * 2 * 2 < 14 * 1024 * 1024
+    return tk_pad * d * 2 * 2 * 2 < 14 * 1024 * 1024
 
 
 from jax.experimental.custom_partitioning import custom_partitioning
@@ -817,20 +814,91 @@ _bwd_sharded = _make_partitioned(
 )
 
 
-# BTC kernels: shard over B (dim 0); T and C replicated. (Head/TP sharding
-# of attention stays on the BHTD path — see flash_attention_bthd.)
-_fwd_sharded_btc = _make_partitioned(
-    _fwd_arrays_btc, 3, 2, (3, 3),
+# BTC kernels: shard over B (dim 0) AND the channel dim (dim 2 — head
+# groups, i.e. tensor parallelism; the lse's per-head row dim shards with
+# the same axis). A shard's channel slice must stay a 128-lane multiple
+# with whole head-pairs; otherwise the partition falls back to replicating
+# the channel dim (correct, just gathers).
+
+
+def _spec_dim(sharding, dim):
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+def _make_partitioned_btc(fn, n_arrays: int, n_out: int, lse_positions,
+                          sharding_rule=None, need_replication=(),
+                          n_static: int = 6):
+    wrapped = custom_partitioning(
+        fn, static_argnums=tuple(range(n_arrays, n_arrays + n_static))
+    )
+
+    def _shardings(mesh, b, caxis):
+        def arr(is_lse):
+            if is_lse:
+                return NamedSharding(mesh, _P(b, caxis, None))
+            return NamedSharding(mesh, _P(b, None, caxis))
+
+        outs = tuple(arr(i in lse_positions) for i in range(n_out))
+        args = tuple(arr(n_arrays == 6 and i == 5) for i in range(n_arrays))
+        return outs, args
+
+    def _axes(mesh, arg_infos, statics):
+        b = _spec_dim(arg_infos[0].sharding, 0)
+        caxis = _spec_dim(arg_infos[0].sharding, 2)
+        if caxis is not None:
+            names = (caxis,) if isinstance(caxis, str) else tuple(caxis)
+            nshards = 1
+            for nm in names:
+                nshards *= mesh.shape[nm]
+            c = arg_infos[0].shape[2]
+            d_head = statics[-1]
+            hp_cols = _btc_heads_per_block(d_head) * d_head
+            per = c // max(nshards, 1)
+            if per <= 0 or per % _LANE or per % hp_cols or c % nshards:
+                caxis = None
+        return b, caxis
+
+    def infer(*call_args):
+        *static, mesh, arg_infos, result_infos = call_args
+        b, caxis = _axes(mesh, arg_infos, static[-n_static:])
+        outs, _ = _shardings(mesh, b, caxis)
+        return outs if n_out > 1 else outs[0]
+
+    def partition(*call_args):
+        *static, mesh, arg_infos, result_infos = call_args
+        static = static[-n_static:]
+        b, caxis = _axes(mesh, arg_infos, static)
+        outs, args = _shardings(mesh, b, caxis)
+
+        def lower(*arrays):
+            return fn(*arrays, *static)
+
+        return mesh, lower, (outs if n_out > 1 else outs[0]), args
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=sharding_rule,
+        need_replication_factors=need_replication,
+    )
+    return wrapped
+
+
+_fwd_sharded_btc = _make_partitioned_btc(
+    _fwd_arrays_btc, 3, 2, lse_positions=(1,),
     sharding_rule="b q c, b k c, b k c -> b q c, b m q",
-    need_replication=("q", "c", "k", "m"),
+    need_replication=("q", "k"),
     n_static=6,
 )
-_bwd_sharded_btc = _make_partitioned(
-    _bwd_arrays_btc, 6, 3, (3, 3, 3),
+_bwd_sharded_btc = _make_partitioned_btc(
+    _bwd_arrays_btc, 6, 3, lse_positions=(),
     sharding_rule=(
         "b q c, b k c, b k c, b q c, b q c, b m q -> b q c, b k c, b k c"
     ),
-    need_replication=("q", "c", "k", "m"),
+    need_replication=("q", "k"),
     n_static=6,
 )
 
@@ -872,13 +940,6 @@ def _flash_btc_fwd(q, k, v, scale, causal, block_q, kv_len, d_head):
 
 
 _flash_btc.defvjp(_flash_btc_fwd, _bwd_btc)
-
-
-def _spec_dim(sharding, dim):
-    spec = getattr(sharding, "spec", None)
-    if not spec or len(spec) <= dim:
-        return None
-    return spec[dim]
 
 
 def _make_partitioned_bthd(fn, n_arrays: int, n_out: int, lse_positions,
@@ -1004,6 +1065,16 @@ import os
 DEFAULT_BLOCK_Q = int(os.environ.get("NEUSPEECH_FLASH_BLOCK_Q", "512"))
 
 
+def btc_block_q(t_q: int, block_q: Optional[int] = None) -> int:
+    """The q-block the BTC path uses for a length-t_q query: requested (or
+    default) block, quantized DOWN to a 128-lane multiple, capped at 512.
+    `encoder_apply` pads its layer stack with this same quantum so the
+    kernel wrapper's pads become no-ops."""
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q
+    return max(_LANE, min(block_q, 512, _round_up(t_q, _LANE)) // _LANE * _LANE)
+
+
 # The native [B,T,H,D] Pallas kernels above compile in interpret mode but
 # the current Mosaic release crashes (remote-compile HTTP 500,
 # tpu_compile_helper exit 1) on real TPUs. Bisected (/tmp/mosaic_bisect*,
@@ -1039,8 +1110,11 @@ def flash_attention_bthd(q, k, v, causal: bool = False,
     scale = d ** -0.5
     if (layout == "btc" and d in (32, 64, 128)
             and h % _btc_heads_per_block(d) == 0):
-        # block_q must be a lane multiple (the lse block's lane dim)
-        bq = max(_LANE, min(block_q, _round_up(t_q, _LANE)))
+        # block_q quantized to a lane multiple (the lse block's lane dim
+        # must divide 128) and capped at 512 (VMEM; larger measured
+        # neutral) — the SAME quantum `btc_block_q` gives the encoder for
+        # its padded-T layer stack, so the pads here are no-ops there
+        bq = btc_block_q(t_q, block_q)
         c = h * d
         out = _flash_btc(
             q.reshape(b, t_q, c), k.reshape(b, t_kv, c),

@@ -382,12 +382,14 @@ def test_encoder_padded_t_matches_unpadded():
 
 @pytest.mark.parametrize("tq,tkv", [(1, 100), (4, 1500), (2, 130)])
 def test_decode_cross_kernel_parity(tq, tkv):
-    """Streaming decode cross-attention kernel (used on TPU for the
-    incremental-decode cache path) vs the XLA reference."""
+    """Streaming decode cross-attention kernel (selectable on TPU for the
+    incremental-decode cache path) vs the XLA reference. K/V arrive in the
+    decode cache's BHTD layout."""
     from neuspeech1_tpu.ops.flash_attention import flash_decode_cross
 
     q, k, v = _qkv_bthd(b=2, h=8, tq=tq, tkv=tkv, d=64)
-    out = flash_decode_cross(q, k, v)
+    out = flash_decode_cross(q, k.transpose(0, 2, 1, 3),
+                             v.transpose(0, 2, 1, 3))
     ref = _ref_bthd(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
@@ -400,7 +402,80 @@ def test_decode_cross_kernel_kv_len():
     q, k, v = _qkv_bthd(b=1, h=4, tq=1, tkv=t, d=64)
     kp = jnp.pad(k, ((0, 0), (0, t_store - t), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, t_store - t), (0, 0), (0, 0)))
-    out = flash_decode_cross(q, kp, vp, kv_len=t)
+    out = flash_decode_cross(
+        q, kp.transpose(0, 2, 1, 3), vp.transpose(0, 2, 1, 3), kv_len=t)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_decode_cross_gating_uses_bhtd_axes():
+    """Regression (round-2 review): _decode_cross_ok must read (T_src, d,
+    H) from the BHTD cache — the transposed axes made the whisper-base
+    geometry always fail the VMEM check."""
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.ops.flash_attention import decode_cross_available
+
+    # whisper-base cross cache: [B, H, T_src, Dh]
+    assert decode_cross_available(1500, 64, 8)
+    k = jnp.zeros((2, 8, 1500, 64), jnp.float32)
+    old = jw._FLASH_DECODE
+    jw._FLASH_DECODE = True
+    try:
+        # gating should be decided by the (t_kv, d, h) = (1500, 64, 8)
+        # envelope (True) AND the platform; on CPU it stays False
+        from neuspeech1_tpu.ops.flash_attention import on_tpu
+
+        assert jw._decode_cross_ok(k) == on_tpu()
+    finally:
+        jw._FLASH_DECODE = old
+
+
+def test_btc_partitioned_head_sharding_on_mesh(monkeypatch):
+    """BTC kernels shard the channel (head-group) dim — tensor-parallel
+    activations run per-shard instead of being all-gathered."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    _force_btc(monkeypatch)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    # h=4, d=64 -> C=256; tp=2 -> 128 per shard = one head pair: valid
+    q, k, v = _qkv_bthd(b=8, h=4, tq=32, tkv=32, d=64)
+    sh = NamedSharding(mesh, P("dp", None, "tp", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    @jax.jit
+    def f(q, k, v):
+        return flash_attention_bthd(q, k, v)
+
+    out = f(qs, ks, vs)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        jnp.tanh(flash_attention_bthd(q, k, v)))))(qs, ks, vs)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(_ref_bthd(q, k, v))))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_bthd_layout_mesh_coverage_pinned(monkeypatch):
+    """The H-sharding BTHD-native path keeps mesh coverage even though the
+    default layout is now 'btc' (review: the h=4 geometry silently diverted
+    to BTC)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    monkeypatch.setenv("NEUSPEECH_FLASH_LAYOUT", "bthd")
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    q, k, v = _qkv_bthd(b=8, h=4, tq=32, tkv=32, d=32)
+    sh = NamedSharding(mesh, P("dp", None, "tp", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    out = jax.jit(lambda q, k, v: flash_attention_bthd(q, k, v))(qs, ks, vs)
     ref = _ref_bthd(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)

@@ -383,3 +383,45 @@ def test_data_parallel_two_steps_match_single_device():
                     jax.tree_util.tree_leaves(s8.trainable)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_qkv_forward_parity(monkeypatch):
+    """NEUSPEECH_FUSED_QKV='1' (one dot through column-concatenated q/k/v
+    weights, zero-filled missing biases) must match the separate-dot path
+    exactly — full forward AND the incremental-decode cache path (review:
+    the env-gated branches had zero coverage)."""
+    import numpy as np
+
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(7), cfg, stem)
+    batch = make_batch(cfg, stem, b=2)
+
+    ref = jw.forward(params, batch["input_features"],
+                     batch["decoder_input_ids"], cfg, stem)
+    monkeypatch.setattr(jw, "_FUSED_QKV", "1")
+    out = jw.forward(params, batch["input_features"],
+                     batch["decoder_input_ids"], cfg, stem)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
+
+    # incremental decode: cache self-attn path with fused projections
+    monkeypatch.setattr(jw, "_FUSED_QKV", "0")
+    enc = jw.encoder_apply(params, batch["input_features"], cfg, stem)
+    cache0 = jw.init_cache(params, enc, cfg, max_len=8)
+    toks = batch["decoder_input_ids"][:, :1]
+    ref_logits, ref_cache = jw.decoder_apply(
+        params, toks, enc, cfg, cache=cache0, cache_index=0)
+    monkeypatch.setattr(jw, "_FUSED_QKV", "decode")
+    out_logits, out_cache = jw.decoder_apply(
+        params, toks, enc, cfg, cache=cache0, cache_index=0)
+    np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_cache),
+                    jax.tree_util.tree_leaves(ref_cache)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-6)
