@@ -211,3 +211,66 @@ if __name__ == "__main__":
     for bq in (512, 256, 192):
         timeit(f"bwd_btc_bq{bq}", make_bwd_btc(bq),
                (q0, k0, v0, o0, do0, lse0))
+
+
+# ---- dimension_semantics variants on the BTC fwd shapes (measured: no
+# effect — 5.42-5.47 ms vs 5.48 base at whisper-base geometry)
+def make_fwd_btc_sem(block_q, sem):
+    scale = D ** -0.5
+
+    def kern(q_ref, k_ref, v_ref, o_ref, lse_ref):
+        for hh in range(2):
+            sl = slice(hh * D, (hh + 1) * D)
+            q = q_ref[0, :, sl]
+            k = k_ref[0, :, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_idx < T, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / l
+            o_ref[0, :, sl] = o.astype(o_ref.dtype)
+            lse = (m + jnp.log(l))[:, 0]
+            lse_ref[0, hh * 8:(hh + 1) * 8, :] = jnp.broadcast_to(
+                lse[None, :], (8, lse.shape[0]))
+
+    def run(q, k, v):
+        b = q.shape[0]
+        return pl.pallas_call(
+            kern,
+            grid=(b, C // HP, TK // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, HP), lambda b, h, i: (b, i, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, HP), lambda b, h, i: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, HP), lambda b, h, i: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, HP), lambda b, h, i: (b, i, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16, block_q), lambda b, h, i: (b, h, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, TK, C), q.dtype),
+                jax.ShapeDtypeStruct((b, 8 * H, TK), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(dimension_semantics=sem),
+        )(q, k, v)
+    return run
+
+
+if __name__ == "__main__" and "sem" in __import__("sys").argv:
+    for sem in (("parallel", "parallel", "arbitrary"),
+                ("parallel", "arbitrary", "arbitrary"),
+                ("arbitrary", "arbitrary", "arbitrary")):
+        timeit(f"fwd_sem_{'_'.join(s[:3] for s in sem)}",
+               make_fwd_btc_sem(512, sem), (q0, k0, v0))
