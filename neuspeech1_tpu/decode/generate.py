@@ -44,6 +44,9 @@ class GenerationConfig:
     eos_id: int = 50257
     pad_id: int = 50257
     # timestamp decoding (whisper grammar; decode/timestamps.py)
+    # store the decode cross K/V cache int8 (halves decode's dominant
+    # HBM stream; ~0.5% score quantization error) — serving opt-in
+    int8_kv_cache: bool = False
     timestamps: bool = False
     timestamp_begin: int = 50364
     notimestamps_id: int = 50363
@@ -132,7 +135,8 @@ def greedy_decode(
     b = features.shape[0]
     p = prompt_ids.shape[1]
     L = gen.max_length
-    cache = jw.init_cache(params, enc, config, max_len=L)
+    cache = jw.init_cache(params, enc, config, max_len=L,
+                          int8_cross=gen.int8_kv_cache)
 
     tokens = jnp.full((b, L), gen.pad_id, jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
@@ -217,7 +221,8 @@ def beam_search(
 
     enc = jw.encoder_apply(params, features, config, stem, lora=lora)
     enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
-    cache = jw.init_cache(params, enc, config, max_len=L)
+    cache = jw.init_cache(params, enc, config, max_len=L,
+                          int8_cross=gen.int8_kv_cache)
 
     tokens = jnp.full((B, K, L), gen.pad_id, jnp.int32)
     tokens = tokens.at[:, :, :P].set(prompt_ids.astype(jnp.int32)[:, None, :])

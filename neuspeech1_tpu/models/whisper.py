@@ -308,6 +308,29 @@ def mha(
             # cross cache every token (~1.2 GB/token at whisper-base bs64)
             # and the head-strided [B,T,H,D] layout measured at only half
             # HBM bandwidth (0.26 ms per 100 MB einsum; device profile).
+            if "k_q" in cache:
+                # int8 cross cache: the big int8 arrays feed the dots raw
+                # (half the HBM bytes of decode's dominant stream); the
+                # per-(b,h,channel) scales fold into the TINY operands —
+                # q for scores (q_d·k_d·s_d = (q_d·s_d)·k_d), the output
+                # for PV (scale is per output channel)
+                k_q, k_s = cache["k_q"], cache["k_s"]
+                v_q, v_s = cache["v_q"], cache["v_s"]
+                dh = q.shape[-1]
+                # k_s/v_s: [B, H, 1, Dh] -> broadcast against BTHD q / out
+                qs = q * k_s[:, :, 0, :].astype(q.dtype)[:, None]
+                scores = jnp.einsum(
+                    "bqhd,bhkd->bhqk", qs, k_q.astype(q.dtype)
+                ).astype(jnp.float32) * (dh ** -0.5)
+                if mask is not None:
+                    scores = jnp.where(mask, scores,
+                                       jnp.finfo(jnp.float32).min)
+                probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                out = jnp.einsum("bhqk,bhkd->bqhd", probs,
+                                 v_q.astype(q.dtype))
+                out = out * v_s[:, :, 0, :].astype(q.dtype)[:, None]
+                return linear(_merge_heads(out), p["out"],
+                              lora.get("out")), cache
             k, v = cache["k"], cache["v"]
             if mask is None and _decode_cross_ok(k):
                 from neuspeech1_tpu.ops.flash_attention import (
@@ -672,12 +695,28 @@ def decoder_apply(
     return logits, new_cache
 
 
-def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int):
+def _quantize_kv_int8(x):
+    """Symmetric int8 over the time axis of [B, H, T, Dh], one scale per
+    (batch, head, channel) column: (int8 values, f32 scales [B,H,1,Dh])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
+               int8_cross: bool = False):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
     self k/v: [L, B, max_len, H, Dh] (BTHD — rows written incrementally);
     cross k/v: [L, B, H, T_src, Dh] (BHTD — transposed ONCE here so the
     per-token full-cache reads stream contiguously; see `mha`).
+
+    ``int8_cross``: store the cross K/V int8 with per-(b,h,channel) scales —
+    incremental decode re-reads the WHOLE cross cache every token, so
+    halving its bytes halves decode's dominant HBM stream. The scales fold
+    into the TINY side of each product (Q for scores, the output for PV),
+    so the dots read the int8 arrays directly (see the `mha` cross branch).
     """
     dtype = jnp.dtype(config.dtype)
     dec = params["decoder"]
@@ -689,7 +728,13 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int):
     def per_layer_cross(layer_p):
         k = _split_heads(linear(enc_out.astype(dtype), layer_p["cross_attn"]["k"]), h)
         v = _split_heads(linear(enc_out.astype(dtype), layer_p["cross_attn"]["v"]), h)
-        return {"k": k.transpose(0, 2, 1, 3), "v": v.transpose(0, 2, 1, 3)}
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        if int8_cross:
+            k_q, k_s = _quantize_kv_int8(k)
+            v_q, v_s = _quantize_kv_int8(v)
+            return {"k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s}
+        return {"k": k, "v": v}
 
     cross = jax.vmap(per_layer_cross)(dec["layers"])
     zeros = jnp.zeros((L, b, max_len, h, dh), dtype)

@@ -34,6 +34,7 @@ class Transcriber:
         language: Optional[str] = "english",
         task: str = "transcribe",
         int8_weights: bool = False,
+        int8_kv_cache: bool = False,
     ):
         from neuspeech1_tpu import enable_compilation_cache
         from neuspeech1_tpu.cli import common
@@ -64,6 +65,7 @@ class Transcriber:
             num_beams=num_beams,
             repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram_size,
+            int8_kv_cache=int8_kv_cache,
         )
 
     # ------------------------------------------------------------------

@@ -331,3 +331,51 @@ def test_min_new_tokens_parity(gen_pair):
     for i in range(feats.shape[0]):
         np.testing.assert_array_equal(
             ours[i][P : P + ref.shape[1]], ref[i], err_msg=f"row {i}")
+
+
+def test_int8_kv_cache_cross_attention():
+    """int8 cross-cache decode: (a) EXACT for K/V already on the int8 grid
+    (scales fold losslessly into q / the output), (b) close + token-stable
+    for a trained-like random model end to end."""
+    import numpy as np
+
+    import jax
+
+    from neuspeech1_tpu.config import StemConfig, tiny_config
+    from neuspeech1_tpu.decode.generate import GenerationConfig, greedy_decode
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg = tiny_config()
+    stem = StemConfig("base", in_channels=4)
+    params = init_params(jax.random.key(0), cfg, stem)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal(
+        (2, 4, cfg.max_source_positions * 4)).astype(np.float32))
+
+    # (a) quantization-exactness of the cache transform itself
+    xi = rng.integers(-127, 128, (2, cfg.decoder_heads, 7,
+                                  cfg.d_model // cfg.decoder_heads))
+    xi[:, :, 0, :] = 127  # every (b,h,d) column spans the full grid so the
+    # derived scale is exactly the grid step
+    x = jnp.asarray(xi.astype(np.float32)) * 0.03125
+    q8, s8 = jw._quantize_kv_int8(x)
+    np.testing.assert_allclose(
+        np.asarray(q8, np.float32) * np.asarray(s8), np.asarray(x),
+        rtol=0, atol=1e-6)
+
+    # (b) end-to-end greedy decode with and without the int8 cache
+    tok_prompt = np.asarray([[cfg.sot_id, cfg.first_language_id,
+                              cfg.transcribe_id, cfg.notimestamps_id]] * 2,
+                            np.int32)
+    gen = GenerationConfig.for_model(cfg, max_length=4 + 8)
+    gen8 = GenerationConfig.for_model(cfg, max_length=4 + 8,
+                                      int8_kv_cache=True)
+    out = np.asarray(greedy_decode(params, feats, tok_prompt, cfg, stem, gen))
+    out8 = np.asarray(greedy_decode(params, feats, tok_prompt, cfg, stem,
+                                    gen8))
+    assert out.shape == out8.shape
+    # random-init logits are near-uniform, so demand agreement on most
+    # positions rather than token-exactness
+    agree = (out == out8).mean()
+    assert agree >= 0.75, f"int8 KV cache diverged: agreement {agree:.2f}"
