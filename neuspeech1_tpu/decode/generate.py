@@ -43,10 +43,10 @@ class GenerationConfig:
     min_new_tokens: int = 0
     eos_id: int = 50257
     pad_id: int = 50257
-    # timestamp decoding (whisper grammar; decode/timestamps.py)
     # store the decode cross K/V cache int8 (halves decode's dominant
     # HBM stream; ~0.5% score quantization error) — serving opt-in
     int8_kv_cache: bool = False
+    # timestamp decoding (whisper grammar; decode/timestamps.py)
     timestamps: bool = False
     timestamp_begin: int = 50364
     notimestamps_id: int = 50363

@@ -207,10 +207,11 @@ _FUSED_QKV = _os.environ.get("NEUSPEECH_FUSED_QKV", "0")
 
 
 # Streaming decode-cross kernel is a measured REJECT on v5e at whisper-base
-# bs64 (greedy slope 4.78 -> 8.42 ms/token): one grid instance per batch row
-# serializes tiny-M dots with full pipeline latency, losing to XLA's single
-# batched matmul over [B*H] despite touching the same HBM bytes. Kept
-# selectable for geometries with much longer K/V.
+# bs64 in BOTH shapes tried: all-heads-per-block grid (B,) 8.42 ms/token,
+# per-(b,h) BHTD-native grid (B*H,) 18.5 ms/token, vs 4.75 on XLA's single
+# batched matmul — serialized tiny-M dots pay full pipeline latency per
+# grid instance despite touching the same HBM bytes. Kept selectable for
+# geometries with much longer K/V per head.
 _FLASH_DECODE = _os.environ.get("NEUSPEECH_FLASH_DECODE", "0") == "1"
 
 
@@ -697,11 +698,12 @@ def decoder_apply(
 
 def _quantize_kv_int8(x):
     """Symmetric int8 over the time axis of [B, H, T, Dh], one scale per
-    (batch, head, channel) column: (int8 values, f32 scales [B,H,1,Dh])."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
+    (batch, head, channel) column: (int8 values, f32 scales [B,H,1,Dh]).
+    Same semantics as the weight quantizer — one implementation."""
+    from neuspeech1_tpu.models.quantize import quantize_int8
+
+    q, scale = quantize_int8(x.astype(jnp.float32))
+    return q, scale
 
 
 def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,

@@ -682,11 +682,11 @@ def _fwd_btc(q, k, v, scale, causal, block_q, kv_len, d_head):
 # ----------------------------------------------------------------------
 # Decode cross-attention kernel: incremental decode reads the ENTIRE cross
 # K/V cache every token (whisper-base bs64: ~200 MB/layer/token, 1.2 GB
-# per token over 6 layers) — the decode bottleneck is pure HBM streaming.
-# XLA's materialized path measures ~3x off the bandwidth floor; this kernel
-# streams K/V through VMEM once with all heads in a single [1,Tk,C] block
-# (fits: 2 x 1.5 MB at whisper-base) and tiny-q dots per head. Inference
-# only — no VJP. Grid (B,).
+# per token over 6 layers) — the decode bottleneck is HBM streaming. This
+# kernel reads the cache's BHTD layout natively: grid (B*H,), per-(b,h)
+# [1, Tk_pad, D] K/V blocks streamed through VMEM with one tiny-q dot pair
+# per instance. Inference only — no VJP. Selectable variant (see the
+# measured reject note at models/whisper.py::_FLASH_DECODE).
 # ----------------------------------------------------------------------
 
 

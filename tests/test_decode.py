@@ -376,6 +376,8 @@ def test_int8_kv_cache_cross_attention():
                                     gen8))
     assert out.shape == out8.shape
     # random-init logits are near-uniform, so demand agreement on most
-    # positions rather than token-exactness
-    agree = (out == out8).mean()
+    # GENERATED positions (the prompt is identical by construction and
+    # must not pad the statistic)
+    gen_out, gen_out8 = out[:, 4:], out8[:, 4:]
+    agree = (gen_out == gen_out8).mean()
     assert agree >= 0.75, f"int8 KV cache diverged: agreement {agree:.2f}"

@@ -479,3 +479,29 @@ def test_bthd_layout_mesh_coverage_pinned(monkeypatch):
     ref = _ref_bthd(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_btc_channel_shard_fallback_on_mesh(monkeypatch):
+    """When a channel shard would not be a lane/head-pair multiple (here
+    tp=4 over C=256 -> 64 cols/shard < the 128-col head pair), the BTC
+    partition must fall back to replicating the channel dim — correct
+    results, no Mosaic block violation."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
+
+    _force_btc(monkeypatch)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "tp"))
+    q, k, v = _qkv_bthd(b=4, h=4, tq=32, tkv=32, d=64)  # C=256
+    sh = NamedSharding(mesh, P("dp", None, "tp", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    out = jax.jit(lambda q, k, v: flash_attention_bthd(q, k, v))(qs, ks, vs)
+    ref = _ref_bthd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        jnp.tanh(flash_attention_bthd(q, k, v)))))(qs, ks, vs)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(_ref_bthd(q, k, v))))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
+                               atol=2e-4)
