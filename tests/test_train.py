@@ -425,3 +425,28 @@ def test_fused_qkv_forward_parity(monkeypatch):
                     jax.tree_util.tree_leaves(ref_cache)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-6)
+
+
+def test_scan_unroll_equality():
+    """scan_unroll (full unroll on TPU, auto) must be numerics-neutral:
+    unroll=2 and full unroll reproduce the unroll=1 forward exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg1 = mini_cfg()
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(11), cfg1, stem)
+    batch = make_batch(cfg1, stem, b=2)
+    ref = jw.forward(params, batch["input_features"],
+                     batch["decoder_input_ids"], cfg1, stem)
+    for u in (2, 16):
+        cfg = dataclasses.replace(cfg1, scan_unroll=u)
+        out = jw.forward(params, batch["input_features"],
+                         batch["decoder_input_ids"], cfg, stem)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
