@@ -228,7 +228,18 @@ def main(argv=None):
             and not args.combine_sentences and not args.split_sentences
             and jax.process_count() == 1
         )
-        fits = corpus_bytes(train_ds) <= args.device_cache_budget_mb * 2**20
+        budget_mb = args.device_cache_budget_mb
+        if not args.remat and budget_mb > 1536:
+            # without remat the saved activations claim most of HBM
+            # (whisper-base bs64 ~10 GB of 16); shrink the AUTO cache budget
+            # so staging the corpus cannot push training out of memory
+            budget_mb = 1536
+            if args.device_cache == "auto":
+                print("[finetune] --remat=False: device_cache auto budget "
+                      f"capped at {budget_mb} MB (activations need the HBM; "
+                      "pass --device_cache_budget_mb to override with "
+                      "--device_cache=on)", flush=True)
+        fits = corpus_bytes(train_ds) <= budget_mb * 2**20
         if args.device_cache == "on":
             if not eligible:
                 raise ValueError("--device_cache=on needs per-item signal "

@@ -220,9 +220,12 @@ def beam_search(
     NEG = jnp.float32(-1e9)
 
     enc = jw.encoder_apply(params, features, config, stem, lora=lora)
-    enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
+    # cross K/V is beam-invariant: keep ONE cross cache per utterance
+    # (mha folds the beam dim into the query rows) and allocate only the
+    # self cache at B*K — K x fewer cross HBM reads per step and the
+    # per-step beam reorder no longer gathers gigabytes of cross cache
     cache = jw.init_cache(params, enc, config, max_len=L,
-                          int8_cross=gen.int8_kv_cache)
+                          int8_cross=gen.int8_kv_cache, self_batch=B * K)
 
     tokens = jnp.full((B, K, L), gen.pad_id, jnp.int32)
     tokens = tokens.at[:, :, :P].set(prompt_ids.astype(jnp.int32)[:, None, :])
@@ -308,7 +311,8 @@ def beam_search(
             in_axes=(0, 0),
         )(tokens, new_tok)
 
-        cache = _gather_beams(cache, new_beam, B, K)
+        cache = dict(cache)
+        cache["self"] = _gather_beams(cache["self"], new_beam, B, K)
         logits, cache = jw.decoder_apply(
             params, new_tok.reshape(B * K, 1), enc, config, lora=lora,
             cache=cache, cache_index=cur_len,

@@ -309,6 +309,15 @@ def mha(
             # cross cache every token (~1.2 GB/token at whisper-base bs64)
             # and the head-strided [B,T,H,D] layout measured at only half
             # HBM bandwidth (0.26 ms per 100 MB einsum; device profile).
+            rows, t_q_rows = q.shape[0], q.shape[1]
+            b_c = (cache["k_q"] if "k_q" in cache else cache["k"]).shape[0]
+            if rows != b_c:
+                # beam search: B·K decoder rows, ONE cross cache per
+                # utterance (cross K/V is beam-invariant) — fold the beam
+                # dim into the query rows instead of replicating/gathering
+                # the cache (K x fewer cross HBM reads, no per-step gather)
+                assert mask is None and rows % b_c == 0
+                q = q.reshape(b_c, (rows // b_c) * t_q_rows, *q.shape[2:])
             if "k_q" in cache:
                 # int8 cross cache: the big int8 arrays feed the dots raw
                 # (half the HBM bytes of decode's dominant stream); the
@@ -330,23 +339,25 @@ def mha(
                 out = jnp.einsum("bhqk,bhkd->bqhd", probs,
                                  v_q.astype(q.dtype))
                 out = out * v_s[:, :, 0, :].astype(q.dtype)[:, None]
-                return linear(_merge_heads(out), p["out"],
-                              lora.get("out")), cache
-            k, v = cache["k"], cache["v"]
-            if mask is None and _decode_cross_ok(k):
-                from neuspeech1_tpu.ops.flash_attention import (
-                    flash_decode_cross)
+            else:
+                k, v = cache["k"], cache["v"]
+                if mask is None and _decode_cross_ok(k):
+                    from neuspeech1_tpu.ops.flash_attention import (
+                        flash_decode_cross)
 
-                out = flash_decode_cross(q, k, v)
-                return linear(_merge_heads(out), p["out"],
-                              lora.get("out")), cache
-            dh = q.shape[-1]
-            scores = jnp.einsum("bqhd,bhkd->bhqk", q, k).astype(jnp.float32)
-            scores = scores * (dh ** -0.5)
-            if mask is not None:
-                scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bhkd->bqhd", probs, v)
+                    out = flash_decode_cross(q, k, v)
+                else:
+                    dh = q.shape[-1]
+                    scores = jnp.einsum(
+                        "bqhd,bhkd->bhqk", q, k).astype(jnp.float32)
+                    scores = scores * (dh ** -0.5)
+                    if mask is not None:
+                        scores = jnp.where(mask, scores,
+                                           jnp.finfo(jnp.float32).min)
+                    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+                    out = jnp.einsum("bhqk,bhkd->bqhd", probs, v)
+            if rows != b_c:
+                out = out.reshape(rows, t_q_rows, *out.shape[2:])
             return linear(_merge_heads(out), p["out"],
                           lora.get("out")), cache
         else:
@@ -707,7 +718,7 @@ def _quantize_kv_int8(x):
 
 
 def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
-               int8_cross: bool = False):
+               int8_cross: bool = False, self_batch: Optional[int] = None):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
     self k/v: [L, B, max_len, H, Dh] (BTHD — rows written incrementally);
@@ -719,6 +730,11 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
     halving its bytes halves decode's dominant HBM stream. The scales fold
     into the TINY side of each product (Q for scores, the output for PV),
     so the dots read the int8 arrays directly (see the `mha` cross branch).
+
+    ``self_batch``: decoder-row count when it exceeds the encoder batch —
+    beam search runs B·K decoder rows against ONE cross cache per
+    utterance (cross K/V is beam-invariant; `mha` folds the beam dim into
+    the query rows), so only the self cache is allocated at B·K.
     """
     dtype = jnp.dtype(config.dtype)
     dec = params["decoder"]
@@ -739,7 +755,7 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
         return {"k": k, "v": v}
 
     cross = jax.vmap(per_layer_cross)(dec["layers"])
-    zeros = jnp.zeros((L, b, max_len, h, dh), dtype)
+    zeros = jnp.zeros((L, self_batch or b, max_len, h, dh), dtype)
     return {"self": {"k": zeros, "v": zeros}, "cross": cross}
 
 

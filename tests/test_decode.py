@@ -381,3 +381,42 @@ def test_int8_kv_cache_cross_attention():
     gen_out, gen_out8 = out[:, 4:], out8[:, 4:]
     agree = (gen_out == gen_out8).mean()
     assert agree >= 0.75, f"int8 KV cache diverged: agreement {agree:.2f}"
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_beam_parity_fuzz_seeds(seed):
+    """Token-exact beam parity vs HF on freshly seeded random models —
+    guards against single-lucky-seed parity (fixture uses one seed)."""
+    import torch as _t
+
+    cfg = small_cfg()
+    _t.manual_seed(seed)
+    m = hf_model(cfg)
+    m.generation_config.begin_suppress_tokens = None
+    m.generation_config.suppress_tokens = None
+    m.generation_config.forced_decoder_ids = None
+    m.generation_config.no_timestamps_token_id = cfg.notimestamps_id
+    m.generation_config.return_timestamps = False
+    params = params_from_hf_state_dict(m.state_dict(), cfg,
+                                       StemConfig("speech"))
+    rng = np.random.default_rng(seed)
+    feats = rng.standard_normal(
+        (2, cfg.num_mel_bins, cfg.max_source_positions * 2)
+    ).astype(np.float32)
+    prompt = np.asarray([[cfg.sot_id, cfg.first_language_id,
+                          cfg.transcribe_id, cfg.notimestamps_id]] * 2,
+                        np.int32)
+    L = 14
+    ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=3,
+                       do_sample=False, repetition_penalty=2.0,
+                       length_penalty=1.0, early_stopping=False)
+    gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=3,
+                                     repetition_penalty=2.0)
+    seq, _ = beam_search(params, feats, prompt, cfg, StemConfig("speech"),
+                         gen)
+    ours = np.asarray(seq)
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(
+            ours[i][P: P + ref.shape[1]], ref[i],
+            err_msg=f"seed {seed} row {i}")
