@@ -203,6 +203,12 @@ def test_transcriber_int8(cli_run):
     tq = q8.transcribe(sigs)
     assert len(td) == len(tq) == 2
     assert all(isinstance(x, str) for x in tq)
+    # int8 decode KV cache serving flag (cross K/V stored int8): runs end
+    # to end and yields strings on the same inputs
+    kv8 = Transcriber(f"{out}/full_model", tokenizer="byte", batch_size=2,
+                      max_new_tokens=6, int8_kv_cache=True)
+    tk = kv8.transcribe(sigs)
+    assert len(tk) == 2 and all(isinstance(x, str) for x in tk)
 
 
 def test_evaluate_with_prompt_and_yake_bias(cli_run):
