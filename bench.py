@@ -115,17 +115,27 @@ def main():
         step = ts.make_train_step(config, stem, tx, fold_lora=True)
         return config, state, frozen, step
 
+    # shared remat policy (train/memory.py — same function the finetune
+    # CLI's --remat=auto uses): no-remat when the step fits HBM
+    from neuspeech1_tpu.train import memory as trainmem
+
+    auto_remat = trainmem.resolve_remat(
+        "auto", WhisperConfig(), stem, batch_size,
+        trainable_count=trainmem.trainable_count_estimate(
+            WhisperConfig(), stem, ft_full=False, lora_rank=32),
+        label_len=label_len,
+    )
     try:
-        config, state, frozen, step = build(remat=False)
+        config, state, frozen, step = build(remat=auto_remat)
         state, m = step(state, frozen, batch)
         float(jax.device_get(m["loss"]))
     except Exception as e:
         import sys
 
-        print(f"[bench] remat=False path failed ({type(e).__name__}: "
-              f"{str(e)[:200]}); falling back to remat=True",
+        print(f"[bench] remat={auto_remat} path failed ({type(e).__name__}: "
+              f"{str(e)[:200]}); falling back to remat={not auto_remat}",
               file=sys.stderr, flush=True)
-        config, state, frozen, step = build(remat=True)
+        config, state, frozen, step = build(remat=not auto_remat)
         state, m = step(state, frozen, batch)
         float(jax.device_get(m["loss"]))
     state, m = step(state, frozen, batch)

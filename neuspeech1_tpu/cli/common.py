@@ -173,5 +173,33 @@ def parse_config_overrides(args) -> WhisperConfig:
         kw["dtype"] = "bfloat16"
     else:
         kw["dtype"] = "float32"
-    kw["remat"] = bool(getattr(args, "remat", True))
+    r = getattr(args, "remat", True)
+    if isinstance(r, str):
+        # 'auto' resolves later (finetune replaces the config once the
+        # corpus size is known — train/memory.py); provisional True is the
+        # memory-safe default for anything compiled before that
+        from neuspeech1_tpu.utils.args import strtobool
+
+        r = True if r.lower() == "auto" else strtobool(r)
+    kw["remat"] = bool(r)
     return WhisperConfig(**kw)
+
+
+def suppress_kwargs(spec: str, tokenizer) -> Dict[str, Any]:
+    """GenerationConfig kwargs for a --suppress_tokens flag value.
+
+    'default': derive the HF whisper suppress/begin-suppress lists from the
+    tokenizer's vocab (`Tokenizer.default_suppress_ids` — the content of a
+    downloaded generation_config.json, which the reference's generate
+    override consumes at `utils/load_model.py:1210-1294`); 'none': both
+    empty; otherwise a comma-separated id list (begin-suppress stays empty).
+    """
+    if spec == "default":
+        return {
+            "suppress_ids": tuple(tokenizer.default_suppress_ids()),
+            "begin_suppress_ids": tuple(
+                tokenizer.default_begin_suppress_ids()),
+        }
+    if spec in ("none", "", None):
+        return {}
+    return {"suppress_ids": tuple(int(x) for x in spec.split(","))}

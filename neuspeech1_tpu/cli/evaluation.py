@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
             "sequence-bias entries: word|phrase|phrase_word")
     add_arg("train_data", str, None, "train jsonl (for --sequence_bias)")
     add_arg("bias_weight", float, -1.0, "sequence bias value")
+    add_arg("suppress_tokens", str, "default",
+            "'default' (HF lists derived from the tokenizer vocab), "
+            "'none', or comma-separated ids")
     add_arg("post_processing", bool, False, "ascii+lowercase post-processing")
     add_arg("per_sentence", bool, False, "also write per-sentence metric rows")
     add_arg("prompt_from_labels", bool, False,
@@ -175,6 +178,7 @@ def main(argv=None):
         repetition_penalty=args.repetition_penalty,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
         timestamps=args.timestamps,  # whisper timestamp grammar
+        **common.suppress_kwargs(args.suppress_tokens, tokenizer),
     )
 
     preds, refs = [], []

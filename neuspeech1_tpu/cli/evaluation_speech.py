@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("repetition_penalty", float, 1.0, "repetition penalty")
     add_arg("no_repeat_ngram_size", int, 0, "ngram ban")
     add_arg("max_new_tokens", int, 128, "decode budget")
+    add_arg("suppress_tokens", str, "default",
+            "'default' (HF lists derived from the tokenizer vocab), "
+            "'none', or comma-separated ids")
     add_arg("output_dir", str, "eval_output/", "results dir")
     add_arg("bf16", bool, True, "bf16 compute")
     for name in ("d_model", "encoder_layers", "decoder_layers", "encoder_heads",
@@ -84,6 +87,7 @@ def main(argv=None):
         num_beams=args.num_beams,
         repetition_penalty=args.repetition_penalty,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
+        **common.suppress_kwargs(args.suppress_tokens, tokenizer),
     )
 
     preds, refs = [], []

@@ -60,7 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("max_source_positions", int, None, "override source positions")
     add_arg("max_target_positions", int, None, "override target positions")
     add_arg("bf16", bool, True, "bf16 compute (fp32 otherwise)")
-    add_arg("remat", bool, True, "rematerialize transformer layers")
+    add_arg("remat", str, "auto",
+            "rematerialize transformer layers: auto|true|false (auto = "
+            "remat only when the faster no-remat step won't fit HBM; "
+            "train/memory.py, shared with bench.py)")
     # adapters (reference finetune.py:189-212)
     add_arg("use_adalora", bool, True, "AdaLoRA (True) or plain LoRA (False)")
     add_arg("lora_rank", int, None, "LoRA rank (default 32; AdaLoRA init_r 12)")
@@ -221,6 +224,35 @@ def main(argv=None):
         # bf16 features dominate
         return len(ds) * args.eeg_ch * int(args.max_audio_len * 200) * 2
 
+    # ---- remat resolution (one decision function, shared with bench.py:
+    # 'auto' = the fast no-remat step iff params + optimizer + cached
+    # corpus + saved activations fit the HBM budget) ------------------
+    cache_eligible = (
+        args.modal == "eeg" and args.device_cache != "off"
+        and not (cpu_augment and cpu_augment.get("shift", {}).get("prob", 0))
+        and not args.combine_sentences and not args.split_sentences
+        and jax.process_count() == 1
+    )
+    would_cache = cache_eligible and (
+        corpus_bytes(train_ds) <= args.device_cache_budget_mb * 2**20
+    )
+    from neuspeech1_tpu.train import memory as trainmem
+
+    remat = trainmem.resolve_remat(
+        args.remat, config, stem, args.per_device_train_batch_size,
+        trainable_count=trainmem.trainable_count_estimate(
+            config, stem, ft_full=args.ft_full, lora_rank=args.lora_rank,
+            adalora=args.use_adalora),
+        corpus_bytes=corpus_bytes(train_ds) if would_cache else 0,
+        label_len=args.label_max_length,
+    )
+    if str(args.remat).lower() == "auto":
+        print(f"[finetune] --remat=auto -> remat={remat}", flush=True)
+    if remat != config.remat:
+        import dataclasses
+
+        config = dataclasses.replace(config, remat=remat)
+
     use_cache = False
     if args.modal == "eeg" and args.device_cache != "off":
         eligible = (
@@ -229,7 +261,7 @@ def main(argv=None):
             and jax.process_count() == 1
         )
         budget_mb = args.device_cache_budget_mb
-        if not args.remat and budget_mb > 1536:
+        if not remat and budget_mb > 1536:
             # without remat the saved activations claim most of HBM
             # (whisper-base bs64 ~10 GB of 16); shrink the AUTO cache budget
             # so staging the corpus cannot push training out of memory

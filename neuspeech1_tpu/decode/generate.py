@@ -46,6 +46,13 @@ class GenerationConfig:
     # store the decode cross K/V cache int8 (halves decode's dominant
     # HBM stream; ~0.5% score quantization error) — serving opt-in
     int8_kv_cache: bool = False
+    # multinomial sampling (reference `utils/process_str.py:57-63`
+    # strategies: do_sample with optional top_k / top_p warpers; HF order
+    # processors -> temperature -> top_k -> top_p -> categorical draw)
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
     # timestamp decoding (whisper grammar; decode/timestamps.py)
     timestamps: bool = False
     timestamp_begin: int = 50364
@@ -54,15 +61,25 @@ class GenerationConfig:
     max_initial_timestamp_index: int = 50
 
     @staticmethod
-    def for_model(config: WhisperConfig, **kw) -> "GenerationConfig":
+    def for_model(config: WhisperConfig, tokenizer=None,
+                  **kw) -> "GenerationConfig":
+        """``tokenizer``: when given, suppress/begin-suppress defaults are
+        DERIVED from its vocab (`Tokenizer.default_suppress_ids`, the HF
+        generation_config content with no downloaded file — reference
+        `utils/load_model.py:1210-1294` inherits the same lists from HF);
+        explicit kwargs still win. Without a tokenizer both lists default
+        empty — callers opt in."""
         kw.setdefault("eos_id", config.eot_id)
         kw.setdefault("pad_id", config.eot_id)
         kw.setdefault("eot_id", config.eot_id)
         kw.setdefault("max_length", config.max_target_positions)
         kw.setdefault("timestamp_begin", config.timestamp_begin)
         kw.setdefault("notimestamps_id", config.notimestamps_id)
-        # whisper always bans eot at the first free slot unless minting
-        # nocaptions; keep HF default empty here — callers opt in.
+        if tokenizer is not None:
+            kw.setdefault("suppress_ids",
+                          tuple(tokenizer.default_suppress_ids()))
+            kw.setdefault("begin_suppress_ids",
+                          tuple(tokenizer.default_begin_suppress_ids()))
         return GenerationConfig(**kw)
 
 
@@ -154,6 +171,71 @@ def greedy_decode(
         tokens, cache, last, cur_len, finished = st
         scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p)
         nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, gen.pad_id, nxt)
+        tokens = jax.vmap(
+            lambda row, t, i: lax.dynamic_update_slice(row, t[None], (i,))
+        )(tokens, nxt, jnp.full((b,), cur_len))
+        finished = finished | (nxt == gen.eos_id)
+        logits, cache2 = jw.decoder_apply(
+            params, nxt[:, None], enc, config, lora=lora,
+            cache=cache, cache_index=cur_len,
+        )
+        return (tokens, cache2, logits[:, -1], cur_len + 1, finished)
+
+    init = (tokens, cache, last, jnp.asarray(p, jnp.int32), jnp.zeros((b,), bool))
+    tokens, *_ = lax.while_loop(cond, body, init)
+    return tokens
+
+
+@partial(jax.jit, static_argnames=("config", "stem", "gen"))
+def sample_decode(
+    params: Params,
+    features,
+    prompt_ids,
+    rng,
+    config: WhisperConfig,
+    stem: StemConfig,
+    gen: GenerationConfig,
+    lora: Optional[Params] = None,
+    bias_spec=None,
+):
+    """Multinomial sampling (HF ``do_sample=True`` with single-beam
+    semantics): processors, then temperature / top-k / top-p warpers, then
+    one categorical draw per step. Covers the reference's
+    multinomial/topk/topp strategies (`utils/process_str.py:57-63`; dead in
+    its live eval path, which only calls beam search).
+
+    Returns tokens [B, max_length]. ``rng`` is a jax PRNG key; per-step
+    keys are folded in from the write position, so a fixed key gives a
+    deterministic trace-stable draw sequence.
+    """
+    enc = jw.encoder_apply(params, features, config, stem, lora=lora)
+    b = features.shape[0]
+    p = prompt_ids.shape[1]
+    L = gen.max_length
+    cache = jw.init_cache(params, enc, config, max_len=L,
+                          int8_cross=gen.int8_kv_cache)
+
+    tokens = jnp.full((b, L), gen.pad_id, jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    logits, cache = jw.decoder_apply(
+        params, tokens[:, :p], enc, config, lora=lora, cache=cache, cache_index=0
+    )
+    last = logits[:, -1]
+
+    def cond(st):
+        tokens, cache, last, cur_len, finished = st
+        return (cur_len < L) & ~jnp.all(finished)
+
+    def body(st):
+        tokens, cache, last, cur_len, finished = st
+        scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p)
+        scores = lp.temperature_warp(scores, gen.temperature)
+        scores = lp.top_k_warp(scores, gen.top_k)
+        scores = lp.top_p_warp(scores, gen.top_p)
+        step_key = jax.random.fold_in(rng, cur_len)
+        nxt = jax.random.categorical(step_key, scores, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, gen.pad_id, nxt)
         tokens = jax.vmap(
             lambda row, t, i: lax.dynamic_update_slice(row, t[None], (i,))
@@ -347,8 +429,16 @@ def generate(
     gen: GenerationConfig,
     lora: Optional[Params] = None,
     bias_spec=None,
+    rng=None,
 ):
-    """Dispatch greedy vs beam; returns tokens [B, max_length]."""
+    """Dispatch sampling vs greedy vs beam; returns tokens [B, max_length]."""
+    if gen.do_sample:
+        if rng is None:
+            rng = jax.random.key(0)
+        return sample_decode(
+            params, features, prompt_ids, rng, config, stem, gen, lora=lora,
+            bias_spec=bias_spec,
+        )
     if gen.num_beams <= 1:
         return greedy_decode(
             params, features, prompt_ids, config, stem, gen, lora=lora,

@@ -189,3 +189,42 @@ def apply_min_new_tokens(logits, cur_len, begin_index, min_new_tokens, eos_id):
         return logits
     banned = logits.at[..., eos_id].set(NEG_INF)
     return jnp.where(cur_len < begin_index + min_new_tokens, banned, logits)
+
+
+def temperature_warp(logits, temperature: float):
+    """HF TemperatureLogitsWarper: scores / temperature."""
+    if temperature == 1.0:
+        return logits
+    return logits / jnp.float32(temperature)
+
+
+def top_k_warp(logits, k: int):
+    """HF TopKLogitsWarper: keep the k highest-scoring tokens, set the rest
+    to the filter value. k <= 0 disables."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_warp(logits, p: float, min_tokens_to_keep: int = 1):
+    """HF TopPLogitsWarper semantics: sort ascending, drop tokens whose
+    ascending cumulative softmax mass is <= 1-p (i.e. keep the smallest
+    head set with mass > p), always keeping the ``min_tokens_to_keep``
+    largest."""
+    if p >= 1.0:
+        return logits
+    v = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - p)
+    keep_idx = jnp.arange(v) >= (v - min_tokens_to_keep)
+    remove_sorted = remove_sorted & ~keep_idx[None, :]
+    # threshold = largest sorted logit that is removed; everything at or
+    # below it (by value) is removed. Ties share a fate, matching the sort
+    # scatter only when values are distinct — HF resolves ties by sort
+    # order, which is not meaningful for float logits.
+    thresh = jnp.max(
+        jnp.where(remove_sorted, sorted_logits, -jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits <= thresh, NEG_INF, logits)

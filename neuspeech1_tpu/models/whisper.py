@@ -202,8 +202,10 @@ def attention(
 # scans +14 ms/step (the per-layer weight concat inside the scan outweighs
 # the op-count win) and incremental decode 4.72->4.78 ms/token. Kept
 # selectable for other geometries: '1' fuse everywhere, 'decode' fuse only
-# the decode cache path, '0' (default) never.
-_FUSED_QKV = _os.environ.get("NEUSPEECH_FUSED_QKV", "0")
+# the decode cache path, '0' (default) never. Read at call time (like
+# NEUSPEECH_FLASH_LAYOUT) so setting it after import works.
+def _fused_qkv() -> str:
+    return _os.environ.get("NEUSPEECH_FUSED_QKV", "0")
 
 
 # Streaming decode-cross kernel is a measured REJECT on v5e at whisper-base
@@ -211,8 +213,9 @@ _FUSED_QKV = _os.environ.get("NEUSPEECH_FUSED_QKV", "0")
 # per-(b,h) BHTD-native grid (B*H,) 18.5 ms/token, vs 4.75 on XLA's single
 # batched matmul — serialized tiny-M dots pay full pipeline latency per
 # grid instance despite touching the same HBM bytes. Kept selectable for
-# geometries with much longer K/V per head.
-_FLASH_DECODE = _os.environ.get("NEUSPEECH_FLASH_DECODE", "0") == "1"
+# geometries with much longer K/V per head. Read at call time.
+def _flash_decode_on() -> bool:
+    return _os.environ.get("NEUSPEECH_FLASH_DECODE", "0") == "1"
 
 
 def _decode_cross_ok(k) -> bool:
@@ -220,14 +223,15 @@ def _decode_cross_ok(k) -> bool:
     kernel (TPU only — CPU tests keep the XLA path; kernel parity is
     covered in interpret mode separately). ``k`` is the cross cache in its
     BHTD layout [B, H, T_src, Dh]."""
-    if not _FLASH_DECODE:
+    if not _flash_decode_on():
         return False
     from neuspeech1_tpu.ops.flash_attention import (
         decode_cross_available, on_tpu)
 
     d = k.shape[-1]
     return (on_tpu() and d in (32, 64, 128)
-            and decode_cross_available(k.shape[2], d, k.shape[1]))
+            and decode_cross_available(k.shape[2], d, k.shape[1],
+                                       itemsize=k.dtype.itemsize))
 
 
 def _linear_cat(x, ps):
@@ -277,11 +281,12 @@ def mha(
     lora = lora or {}
     src = x if kv_source is None else kv_source
     # fused projections apply when no per-matrix LoRA delta is live and K/V
-    # are computed this call; see _FUSED_QKV for the train/decode split
+    # are computed this call; see _fused_qkv for the train/decode split
     is_decode_self = cache is not None and kv_source is None
+    fqkv = _fused_qkv()
     fuse = not lora and (
-        _FUSED_QKV == "1" if cache is None
-        else (_FUSED_QKV in ("1", "decode") and is_decode_self)
+        fqkv == "1" if cache is None
+        else (fqkv in ("1", "decode") and is_decode_self)
     )
     if fuse and kv_source is None:
         qh, kh, vh = _linear_cat(x, (p["q"], p["k"], p["v"]))

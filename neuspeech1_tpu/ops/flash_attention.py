@@ -741,11 +741,13 @@ def flash_decode_cross(q, k, v, kv_len: Optional[int] = None):
     return out.reshape(b, h, t_q, d).transpose(0, 2, 1, 3)
 
 
-def decode_cross_available(t_kv: int, d: int, n_heads: int) -> bool:
-    """Per-(batch, head) K/V blocks must fit VMEM with double buffering."""
+def decode_cross_available(t_kv: int, d: int, n_heads: int,
+                           itemsize: int = 2) -> bool:
+    """Per-(batch, head) K/V blocks must fit VMEM with double buffering.
+    ``itemsize`` is the cache dtype's byte width (2 for bf16, 4 for f32)."""
     del n_heads  # grid is (B*H,); VMEM holds one head's K/V at a time
     tk_pad = _round_up(t_kv, _LANE)
-    return tk_pad * d * 2 * 2 * 2 < 14 * 1024 * 1024
+    return tk_pad * d * itemsize * 2 * 2 < 14 * 1024 * 1024
 
 
 from jax.experimental.custom_partitioning import custom_partitioning
@@ -1108,7 +1110,10 @@ def flash_attention_bthd(q, k, v, causal: bool = False,
         raise ValueError("causal flash attention requires Tq == Tkv")
     layout = os.environ.get("NEUSPEECH_FLASH_LAYOUT", "btc")
     scale = d ** -0.5
-    if (layout == "btc" and d in (32, 64, 128)
+    # _BTHD_NATIVE takes precedence over the BTC default so setting it
+    # alone reproduces the old-path measurements (it used to be silently
+    # ignored whenever the BTC gate matched — ADVICE round 2)
+    if (layout == "btc" and not _BTHD_NATIVE and d in (32, 64, 128)
             and h % _btc_heads_per_block(d) == 0):
         # block_q quantized to a lane multiple (the lse block's lane dim
         # must divide 128) and capped at 512 (VMEM; larger measured

@@ -35,7 +35,12 @@ class Transcriber:
         task: str = "transcribe",
         int8_weights: bool = False,
         int8_kv_cache: bool = False,
+        suppress_tokens: str = "default",
     ):
+        """``suppress_tokens``: 'default' derives the HF whisper suppress /
+        begin-suppress lists from the tokenizer's vocab (what a downloaded
+        generation_config.json would carry — no file needed), 'none'
+        disables both, or a comma-separated id list."""
         from neuspeech1_tpu import enable_compilation_cache
         from neuspeech1_tpu.cli import common
         from neuspeech1_tpu.decode.generate import GenerationConfig
@@ -66,6 +71,7 @@ class Transcriber:
             repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram_size,
             int8_kv_cache=int8_kv_cache,
+            **common.suppress_kwargs(suppress_tokens, self.tokenizer),
         )
 
     # ------------------------------------------------------------------

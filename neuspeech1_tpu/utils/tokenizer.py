@@ -215,6 +215,58 @@ class Tokenizer:
     ) -> List[str]:
         return [self.decode(ids, skip_special_tokens) for ids in batch_ids]
 
+    # -- default suppress lists -------------------------------------------
+    def non_speech_token_ids(self) -> List[int]:
+        """Ids of non-speech annotation tokens, derived from the live vocab.
+
+        Pure function of ``encode`` implementing the OpenAI whisper
+        ``tokenizer.non_speech_tokens`` rule (the list HF bakes into every
+        downloaded generation_config.json as ``suppress_tokens`` and the
+        reference consumes via its generate override,
+        `utils/load_model.py:1210-1294`): bracket/annotation symbols that
+        encode to a single token — tried bare and space-prefixed — plus the
+        first token of the musical-note family, plus word-initial hyphen
+        and apostrophe (first token of " -" / " '")."""
+        return _non_speech_token_ids(self)
+
+    def default_suppress_ids(self) -> List[int]:
+        """HF-default ``suppress_tokens`` for this vocab: the non-speech
+        list plus the task/special tokens OpenAI's decoder always bans
+        (translate, transcribe, sot, startofprev, startoflm, nospeech) —
+        the exact content of a downloaded whisper generation_config.json,
+        with no file needed."""
+        c = self.config
+        special = {c.translate_id, c.transcribe_id, c.sot_id,
+                   c.startofprev_id, c.startoflm_id, c.nocaptions_id}
+        return sorted(special | set(self.non_speech_token_ids()))
+
+    def default_begin_suppress_ids(self) -> List[int]:
+        """HF whisper's ``begin_suppress_tokens``: the space token and
+        ``<|endoftext|>`` (banned at the first free decode slot)."""
+        return [self.encode(" ")[0], self.config.eot_id]
+
+
+# Symbol tables for the OpenAI non-speech-token rule (public constants from
+# whisper/tokenizer.py; fixed by the algorithm, not by any vocabulary).
+_NON_SPEECH_SYMBOLS = (
+    list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+    + "<< >> <<< >>> -- --- -( -[ ('- (' (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
+)
+_NON_SPEECH_MISC = set("♩♪♫♬♭♮♯")
+
+
+def _non_speech_token_ids(tok: Tokenizer) -> List[int]:
+    # word-initial hyphen / apostrophe: first token of " -" and " '"
+    result = {tok.encode(" -")[0], tok.encode(" '")[0]}
+    for symbol in _NON_SPEECH_SYMBOLS + list(_NON_SPEECH_MISC):
+        for ids in (tok.encode(symbol), tok.encode(" " + symbol)):
+            # multi-token symbols are skipped EXCEPT the musical notes,
+            # whose 3-byte UTF-8 forms share a first token that is safe
+            # to ban wholesale
+            if len(ids) == 1 or symbol in _NON_SPEECH_MISC:
+                result.add(ids[0])
+    return sorted(result)
+
 
 class ByteTokenizer(Tokenizer):
     """UTF-8 byte-level tokenizer: text token id == byte value (0..255).
@@ -235,6 +287,16 @@ class ByteTokenizer(Tokenizer):
 
     def encode(self, text: str) -> List[int]:
         return list(text.encode("utf-8"))
+
+    def non_speech_token_ids(self) -> List[int]:
+        """The OpenAI rule minus the word-initial hyphen/apostrophe seeds:
+        those are defined as the FIRST token of " -" / " '", which only
+        names a distinct id under a merging (BPE) vocab — here it is the
+        space byte, and banning space would cripple decoding. Single-byte
+        annotation symbols and the shared note-prefix byte remain."""
+        ids = set(_non_speech_token_ids(self))
+        ids -= {self.encode(" ")[0]}
+        return sorted(ids)
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
         out = []

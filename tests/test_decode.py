@@ -420,3 +420,161 @@ def test_beam_parity_fuzz_seeds(seed):
         np.testing.assert_array_equal(
             ours[i][P: P + ref.shape[1]], ref[i],
             err_msg=f"seed {seed} row {i}")
+
+
+# ----------------------------------------------------------------------
+# default suppress-token derivation (HF generation_config content, derived
+# natively from the vocab — reference utils/load_model.py:1210-1294 consumes
+# the same lists from a downloaded file)
+# ----------------------------------------------------------------------
+
+from neuspeech1_tpu.utils.tokenizer import Tokenizer
+
+
+class MockBPE(Tokenizer):
+    """Controlled merge table: ONLY table entries encode to the shown ids;
+    everything else falls back to len(text)+1 tokens (never single)."""
+
+    TABLE = {
+        '"': [10], ' "': [11], '(': [12], ';': [13],
+        '<<': [14], '--': [15],            # multi-char symbols w/ merges
+        '♪': [30, 31], ' ♪': [32, 33],     # misc notes: first token kept
+        '♩': [30, 40],                     # shares the note prefix token
+        ' -': [41, 5], " '": [42, 6],      # word-initial hyphen/apostrophe
+        ' ': [43],
+    }
+
+    def encode(self, text):
+        if text in self.TABLE:
+            return list(self.TABLE[text])
+        return [20 + i for i in range(len(text))] + [99]
+
+
+def test_non_speech_derivation_gold(gen_pair):
+    """Hand-computed gold for the OpenAI non-speech rule on a controlled
+    vocab: single-token symbols (bare or space-prefixed), first token of
+    each musical-note encoding, first token of " -" and " '"."""
+    cfg = gen_pair[0]
+    tok = MockBPE(cfg)
+    # 20 = fallback first-token of the misc notes absent from the table:
+    # musical-note symbols contribute their first token even when they
+    # encode to multiple tokens (the shared-prefix rule)
+    gold = [10, 11, 12, 13, 14, 15, 20, 30, 32, 41, 42]
+    assert tok.non_speech_token_ids() == gold
+    # + the task/special bans OpenAI's decoder always applies
+    specials = [cfg.sot_id, cfg.translate_id, cfg.transcribe_id,
+                cfg.startoflm_id, cfg.startofprev_id, cfg.nocaptions_id]
+    assert tok.default_suppress_ids() == sorted(gold + specials)
+    # begin-suppress: space token + <|endoftext|>
+    assert tok.default_begin_suppress_ids() == [43, cfg.eot_id]
+
+
+def test_byte_tokenizer_default_suppress():
+    """ByteTokenizer: the derivation must NOT ban the space byte (the
+    " -"/" '" seeds degenerate to it without BPE merges) but keeps the
+    single-byte annotation symbols and the whisper special ids."""
+    from neuspeech1_tpu.config import tiny_config
+    from neuspeech1_tpu.utils.tokenizer import ByteTokenizer
+
+    cfg = tiny_config()
+    tok = ByteTokenizer(cfg)
+    ids = tok.default_suppress_ids()
+    assert ord(" ") not in ids
+    assert ord('"') in ids and ord("(") in ids and ord("#") in ids
+    for sid in (cfg.sot_id, cfg.translate_id, cfg.transcribe_id,
+                cfg.startoflm_id, cfg.startofprev_id, cfg.nocaptions_id):
+        assert sid in ids
+    assert tok.default_begin_suppress_ids() == [ord(" "), cfg.eot_id]
+
+
+def test_default_suppress_generate_parity(gen_pair):
+    """for_model(tokenizer=...) must reproduce HF generate configured with
+    the same derived suppress/begin-suppress lists, token-exactly."""
+    cfg, m, params, feats, prompt = gen_pair
+    tok = MockBPE(cfg)
+    sup = [int(x) for x in tok.default_suppress_ids()]
+    beg = [int(x) for x in tok.default_begin_suppress_ids()]
+    L = 16
+    m.generation_config.suppress_tokens = sup
+    m.generation_config.begin_suppress_tokens = beg
+    try:
+        ref = _hf_generate(m, feats, prompt, max_length=L, num_beams=1,
+                           do_sample=False)
+    finally:
+        m.generation_config.suppress_tokens = None
+        m.generation_config.begin_suppress_tokens = None
+    gen = GenerationConfig.for_model(cfg, tokenizer=tok, max_length=L)
+    assert gen.suppress_ids == tuple(sup)
+    assert gen.begin_suppress_ids == tuple(beg)
+    ours = np.asarray(greedy_decode(params, feats, prompt, cfg,
+                                    StemConfig("speech"), gen))
+    P = prompt.shape[1]
+    for i in range(feats.shape[0]):
+        r = ref[i]
+        o = ours[i][P:]
+        np.testing.assert_array_equal(o[: len(r)], r, err_msg=f"row {i}")
+        assert not set(int(t) for t in o[: len(r)]) & set(sup)
+
+
+# ----------------------------------------------------------------------
+# sampling (reference `utils/process_str.py:57-63` strategies)
+# ----------------------------------------------------------------------
+
+def test_top_k_warper_matches_hf():
+    from transformers import TopKLogitsWarper
+
+    logits = _rand_logits(b=3, v=50, seed=4)
+    ref = TopKLogitsWarper(top_k=5)(None, torch.tensor(logits)).numpy()
+    ours = np.asarray(lp.top_k_warp(jnp.asarray(logits), 5))
+    np.testing.assert_array_equal(ours < -1e8, ref < -1e9)
+    np.testing.assert_allclose(np.where(ref < -1e9, 0, ours),
+                               np.where(ref < -1e9, 0, ref), rtol=1e-6)
+
+
+def test_top_p_warper_matches_hf():
+    from transformers import TopPLogitsWarper
+
+    logits = _rand_logits(b=4, v=60, seed=5)
+    for p in (0.3, 0.5, 0.9):
+        ref = TopPLogitsWarper(top_p=p)(None, torch.tensor(logits)).numpy()
+        ours = np.asarray(lp.top_p_warp(jnp.asarray(logits), p))
+        np.testing.assert_array_equal(ours < -1e8, ref < -1e9,
+                                      err_msg=f"top_p={p}")
+
+
+def test_sample_decode_properties(gen_pair):
+    """Sampling: (a) temperature -> 0 reproduces greedy token-exactly;
+    (b) top-k draws stay within the top-k support of the processed logits
+    step by step (checked via determinism across two identical runs and
+    agreement of the k=1 case with greedy); (c) a fixed key is
+    deterministic, different keys may differ."""
+    import jax
+
+    from neuspeech1_tpu.decode.generate import sample_decode
+
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    stem = StemConfig("speech")
+    greedy = np.asarray(greedy_decode(
+        params, feats, prompt, cfg, stem,
+        GenerationConfig.for_model(cfg, max_length=L)))
+    # (a) tiny temperature: categorical over a near-delta distribution
+    gen_cold = GenerationConfig.for_model(cfg, max_length=L, do_sample=True,
+                                          temperature=1e-4)
+    cold = np.asarray(sample_decode(params, feats, prompt, jax.random.key(0),
+                                    cfg, stem, gen_cold))
+    np.testing.assert_array_equal(cold, greedy)
+    # (b) top_k=1 is argmax regardless of key
+    gen_k1 = GenerationConfig.for_model(cfg, max_length=L, do_sample=True,
+                                        top_k=1)
+    k1 = np.asarray(sample_decode(params, feats, prompt, jax.random.key(7),
+                                  cfg, stem, gen_k1))
+    np.testing.assert_array_equal(k1, greedy)
+    # (c) fixed key deterministic
+    gen_s = GenerationConfig.for_model(cfg, max_length=L, do_sample=True,
+                                       top_k=5, temperature=1.3, top_p=0.95)
+    a = np.asarray(sample_decode(params, feats, prompt, jax.random.key(3),
+                                 cfg, stem, gen_s))
+    b = np.asarray(sample_decode(params, feats, prompt, jax.random.key(3),
+                                 cfg, stem, gen_s))
+    np.testing.assert_array_equal(a, b)

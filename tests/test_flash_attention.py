@@ -419,8 +419,9 @@ def test_decode_cross_gating_uses_bhtd_axes():
     # whisper-base cross cache: [B, H, T_src, Dh]
     assert decode_cross_available(1500, 64, 8)
     k = jnp.zeros((2, 8, 1500, 64), jnp.float32)
-    old = jw._FLASH_DECODE
-    jw._FLASH_DECODE = True
+    import os
+    old = os.environ.get("NEUSPEECH_FLASH_DECODE")
+    os.environ["NEUSPEECH_FLASH_DECODE"] = "1"
     try:
         # gating should be decided by the (t_kv, d, h) = (1500, 64, 8)
         # envelope (True) AND the platform; on CPU it stays False
@@ -428,7 +429,10 @@ def test_decode_cross_gating_uses_bhtd_axes():
 
         assert jw._decode_cross_ok(k) == on_tpu()
     finally:
-        jw._FLASH_DECODE = old
+        if old is None:
+            del os.environ["NEUSPEECH_FLASH_DECODE"]
+        else:
+            os.environ["NEUSPEECH_FLASH_DECODE"] = old
 
 
 def test_btc_partitioned_head_sharding_on_mesh(monkeypatch):

@@ -403,20 +403,20 @@ def test_fused_qkv_forward_parity(monkeypatch):
 
     ref = jw.forward(params, batch["input_features"],
                      batch["decoder_input_ids"], cfg, stem)
-    monkeypatch.setattr(jw, "_FUSED_QKV", "1")
+    monkeypatch.setenv("NEUSPEECH_FUSED_QKV", "1")
     out = jw.forward(params, batch["input_features"],
                      batch["decoder_input_ids"], cfg, stem)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
                                atol=1e-6)
 
     # incremental decode: cache self-attn path with fused projections
-    monkeypatch.setattr(jw, "_FUSED_QKV", "0")
+    monkeypatch.setenv("NEUSPEECH_FUSED_QKV", "0")
     enc = jw.encoder_apply(params, batch["input_features"], cfg, stem)
     cache0 = jw.init_cache(params, enc, cfg, max_len=8)
     toks = batch["decoder_input_ids"][:, :1]
     ref_logits, ref_cache = jw.decoder_apply(
         params, toks, enc, cfg, cache=cache0, cache_index=0)
-    monkeypatch.setattr(jw, "_FUSED_QKV", "decode")
+    monkeypatch.setenv("NEUSPEECH_FUSED_QKV", "decode")
     out_logits, out_cache = jw.decoder_apply(
         params, toks, enc, cfg, cache=cache0, cache_index=0)
     np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits),
