@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
             "on-device inside the train step)")
     add_arg("device_cache_budget_mb", int, 4096,
             "HBM budget for --device_cache=auto")
+    add_arg("device_cache_shard_repeats", int, 4,
+            "bigger-than-budget corpora rotate through HBM-resident shards; "
+            "passes per resident shard while the next stages (raise on "
+            "transfer-starved hosts)")
     add_arg("native_loader", str, "auto",
             "C++ batch signal loader: auto|on|off (auto = use when no "
             "per-item augmentation and the toolchain builds)")
@@ -254,6 +258,7 @@ def main(argv=None):
         config = dataclasses.replace(config, remat=remat)
 
     use_cache = False
+    use_rotating = False
     if args.modal == "eeg" and args.device_cache != "off":
         eligible = (
             not (cpu_augment and cpu_augment.get("shift", {}).get("prob", 0))
@@ -279,6 +284,9 @@ def main(argv=None):
             use_cache = True
         else:
             use_cache = eligible and fits
+        # bigger-than-budget corpus: rotate HBM-resident shards instead of
+        # falling all the way back to per-batch streaming
+        use_rotating = (not use_cache) and eligible and not fits
 
     if use_cache:
         from neuspeech1_tpu.data.device_cache import DeviceCache
@@ -288,6 +296,22 @@ def main(argv=None):
         cache = DeviceCache.build(train_ds, collator)
         train_loader = cache.loader(args.per_device_train_batch_size,
                                     seed=args.seed)
+    elif use_rotating:
+        from neuspeech1_tpu.data.rotating_cache import RotatingDeviceCache
+
+        per_clip = corpus_bytes(train_ds) // max(len(train_ds), 1)
+        shard_clips = RotatingDeviceCache.shards_for_budget(
+            budget_mb * 2**20, per_clip)
+        shard_clips = max(shard_clips, args.per_device_train_batch_size)
+        print(f"[finetune] corpus (~{corpus_bytes(train_ds)/2**20:.0f} MB) "
+              f"exceeds the {budget_mb} MB cache budget: rotating "
+              f"{shard_clips}-clip HBM shards x"
+              f"{args.device_cache_shard_repeats} repeats", flush=True)
+        train_loader = RotatingDeviceCache(
+            train_ds, collator, shard_clips=shard_clips,
+            batch_size=args.per_device_train_batch_size, seed=args.seed,
+            shard_repeats=args.device_cache_shard_repeats,
+        )
     else:
         train_loader = DataLoader(
             train_ds, collator, args.per_device_train_batch_size, shuffle=True,

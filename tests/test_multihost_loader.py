@@ -64,3 +64,126 @@ def test_uneven_batch_size_rejected(corpus_ds):
     ds, tok = corpus_ds
     with pytest.raises(ValueError):
         _loader(ds, tok, 0, 3, bs=8)  # 8 % 3 != 0
+
+
+def test_two_process_trainer_step_matches_single(corpus_ds):
+    """Trainer-level 2-host simulation (VERDICT r2 item 5): two
+    process-sharded DataLoaders (process_index 0/1) produce the per-host
+    batch shards; each shard is placed on its own device of a data-2 mesh
+    and assembled into the global batch array with
+    `jax.make_array_from_single_device_arrays` — exactly what a real
+    2-process run does. One jitted train step on that assembly must
+    reproduce the single-process step on the same global rows."""
+    import jax
+
+    from neuspeech1_tpu.config import StemConfig, tiny_config
+    from neuspeech1_tpu.models.init import init_params
+    from neuspeech1_tpu.parallel.mesh import batch_sharding, make_mesh
+    from neuspeech1_tpu.parallel.sharding import shard_params
+    from neuspeech1_tpu.train import optimizer as opt
+    from neuspeech1_tpu.train import trainstep as ts
+
+    ds, tok = corpus_ds
+    bs = 8
+    gb = next(iter(_loader(ds, tok, 0, 1, bs=bs)))
+    b0 = next(iter(_loader(ds, tok, 0, 2, bs=bs)))
+    b1 = next(iter(_loader(ds, tok, 1, 2, bs=bs)))
+    # host shards are strided slices of the same global batch; device order
+    # on the mesh is their concatenation
+    np.testing.assert_array_equal(
+        np.concatenate([b0["_indices"], b1["_indices"]]),
+        np.concatenate([gb["_indices"][0::2], gb["_indices"][1::2]]),
+    )
+
+    keys = ("input_features", "labels", "decoder_input_ids")
+    mesh = make_mesh(data=2)
+    sh = batch_sharding(mesh)
+    devs = list(mesh.devices.flat)
+
+    def assemble(k):
+        shards = [
+            jax.device_put(np.asarray(b0[k]), devs[0]),
+            jax.device_put(np.asarray(b1[k]), devs[1]),
+        ]
+        shape = (b0[k].shape[0] + b1[k].shape[0],) + tuple(b0[k].shape[1:])
+        return jax.make_array_from_single_device_arrays(shape, sh, shards)
+
+    batch2 = {k: assemble(k) for k in keys}
+    ref_batch = {
+        k: np.concatenate([np.asarray(b0[k]), np.asarray(b1[k])]) for k in keys
+    }
+
+    cfg = tiny_config(
+        d_model=32, encoder_layers=2, decoder_layers=2, encoder_heads=2,
+        decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=32, max_target_positions=32, dtype="float32",
+    )
+    stem = StemConfig("base", in_channels=4)
+    params = init_params(jax.random.key(0), cfg, stem)
+    tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=4,
+                            grad_clip=None)
+    pred = opt.default_trainable_pred(ft_full=True)
+    step = ts.make_train_step(cfg, stem, tx, donate=False)
+
+    s1, f1 = ts.init_train_state(jax.random.key(2), params, None, tx, pred)
+    s1, m1 = step(s1, f1, ref_batch)
+    s2, f2 = ts.init_train_state(
+        jax.random.key(2), shard_params(mesh, params), None, tx, pred)
+    s2, m2 = step(s2, f2, batch2)
+
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.trainable),
+                    jax.tree_util.tree_leaves(s2.trainable)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# shard-rotating device cache (bigger-than-HBM corpora)
+# ----------------------------------------------------------------------
+
+def test_rotating_cache_coverage_and_bytes(corpus_ds):
+    """Every clip is visited exactly `shard_repeats` times per epoch (up to
+    within-shard batch-size truncation), batches never mix shards, and the
+    on-device features are byte-exact vs the Python collate path."""
+    import jax.numpy as jnp
+
+    from neuspeech1_tpu.data.collate import Collator
+    from neuspeech1_tpu.data.rotating_cache import RotatingDeviceCache
+
+    ds, tok = corpus_ds
+    col = Collator(pad_id=tok.pad_id, decoder_start_id=tok.config.sot_id,
+                   max_label_len=32)
+    loader = RotatingDeviceCache(ds, col, shard_clips=6, batch_size=2,
+                                 seed=3, shard_repeats=2,
+                                 feature_dtype=jnp.float32)
+    n = len(ds)
+    shard_sizes = [min(6, n - i) for i in range(0, n, 6)]
+    expect = sum((m // 2) * 2 for m in shard_sizes)
+    assert len(loader) == expect
+
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    counts = {}
+    for b in batches:
+        assert b["input_features"].shape == (2, 4, b["input_features"].shape[-1])
+        for i, gi in enumerate(b["_indices"]):
+            counts[int(gi)] = counts.get(int(gi), 0) + 1
+            ref = col([ds[int(gi)]])
+            np.testing.assert_array_equal(
+                np.asarray(b["input_features"][i], np.float32),
+                ref["input_features"][0])
+            np.testing.assert_array_equal(np.asarray(b["labels"][i]),
+                                          ref["labels"][0])
+    # each visited clip appears exactly shard_repeats times
+    assert set(counts.values()) == {2}
+    # the epoch covers the corpus except at most one odd clip per shard
+    # (within-shard batch truncation)
+    assert len(counts) >= n - len(shard_sizes)
+
+    # second epoch: different permutation (epoch-seeded), same invariants
+    batches2 = list(loader)
+    assert len(batches2) == len(loader)
+    order1 = [int(i) for b in batches[:3] for i in b["_indices"]]
+    order2 = [int(i) for b in batches2[:3] for i in b["_indices"]]
+    assert order1 != order2
