@@ -201,3 +201,168 @@ def make_separable_corpus(
                     rows[n_train + n_val:] or rows[-1:])
     write_jsonlines(os.path.join(root, "all.jsonl"), rows)
     return rows
+
+
+def make_confusable_corpus(
+    root: str,
+    n_clips: int = 300,
+    n_channels: int = 8,
+    n_groups: int = 4,
+    confuser_lo: float = 0.5,
+    confuser_hi: float = 1.1,
+    noise: float = 0.25,
+    seg_dur: float = 0.4,
+    language: str = "English",
+    seed: int = 0,
+) -> List[dict]:
+    """Corpus engineered so JOINT decoding (the reference's beam-5 eval
+    config, `evaluation.py:369-386`) beats greedy:
+
+    * vocabulary = ``n_groups`` pairs of words; the two members of a pair
+      sit 2 Hz apart (acoustically confusable under noise), groups are far
+      apart;
+    * a sentence takes one word from each group IN ORDER, and every word
+      uses the SAME pair member ("parity") — the parity is a global,
+      linguistically-learnable constraint;
+    * each word's signal mixes its own frequency (gain 1) with its pair
+      partner's at gain ~U(confuser_lo, confuser_hi): single words are
+      sometimes locally misleading (gain > 1), but the evidence summed over
+      the sentence identifies the true parity.
+
+    A greedy decoder commits to word 1's locally-loudest member and the
+    learned parity constraint then propagates the error across the whole
+    sentence; beam search carries both parity hypotheses and scores total
+    evidence. Words never repeat inside a sentence, so repetition-penalty
+    5.0 / ngram-2 (word-level tokens — see `WordTokenizer`) are not harmed.
+
+    Writes the usual jsonl/npy contract plus ``vocab.txt`` (one word per
+    line) for ``make_tokenizer("word:<root>/vocab.txt")``. Splits 8:1:1.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = list(_WORDS[: 2 * n_groups])
+    base = 5.0 + 8.0 * np.arange(n_groups)
+    freqs = np.stack([base - 1.0, base + 1.0], axis=1)  # [group, member]
+    clip_dir = os.path.join(root, "clips")
+    os.makedirs(clip_dir, exist_ok=True)
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    seg_n = int(round(seg_dur * SIGNAL_SAMPLE_RATE))
+    gains = np.linspace(0.5, 1.5, n_channels)[:, None]
+    t = np.arange(seg_n) / SIGNAL_SAMPLE_RATE
+    rows = []
+    for i in range(n_clips):
+        parity = int(rng.integers(0, 2))
+        segs, words, text_words = [], [], []
+        for g in range(n_groups):
+            own = freqs[g, parity]
+            other = freqs[g, 1 - parity]
+            conf = rng.uniform(confuser_lo, confuser_hi)
+            phase1, phase2 = rng.uniform(0, 2 * np.pi, 2)
+            seg = (
+                0.5 * np.sin(2 * np.pi * own * t + phase1)
+                + 0.5 * conf * np.sin(2 * np.pi * other * t + phase2)
+            )[None, :] * gains
+            segs.append(seg)
+            w = vocab[2 * g + parity]
+            text_words.append(w)
+            words.append({"word": w, "start": round(g * seg_dur, 2),
+                          "end": round((g + 1) * seg_dur, 2)})
+        sig = np.concatenate(segs, axis=1)
+        sig = (sig + noise * rng.standard_normal(sig.shape)).astype(np.float32)
+        dur = n_groups * seg_dur
+        npy_path = os.path.join(clip_dir, f"conf_{i}_meg.npy")
+        np.save(npy_path, sig)
+        text = " ".join(text_words)
+        rows.append({
+            "eeg": {"path": npy_path, "sr": SIGNAL_SAMPLE_RATE},
+            "duration": round(dur, 2),
+            "language": language,
+            "sentence": text,
+            "sentences": [{"text": text, "start": 0.0, "end": round(dur, 2),
+                           "duration": round(dur, 2), "words": words}],
+            "subj": i % 3,
+            "story": f"story_{i % 2}",
+        })
+
+    n_train = max(1, int(n_clips * 0.8))
+    n_val = max(1, (n_clips - n_train) // 2)
+    write_jsonlines(os.path.join(root, "train.jsonl"), rows[:n_train])
+    write_jsonlines(os.path.join(root, "val.jsonl"),
+                    rows[n_train: n_train + n_val])
+    write_jsonlines(os.path.join(root, "test.jsonl"),
+                    rows[n_train + n_val:] or rows[-1:])
+    write_jsonlines(os.path.join(root, "all.jsonl"), rows)
+    return rows
+
+
+def make_noisy_zipf_corpus(
+    root: str,
+    n_clips: int = 260,
+    n_channels: int = 8,
+    noise: float = 0.7,
+    zipf: float = 1.2,
+    min_words: int = 5,
+    max_words: int = 8,
+    seg_dur: float = 0.3,
+    n_vocab: int = 12,
+    language: str = "English",
+    seed: int = 1,
+) -> List[dict]:
+    """Noisy Zipf-distributed corpus where the reference's beam-5 /
+    rep-penalty-5.0 / ngram-2 eval config (`evaluation.py:369-386`) beats
+    plain greedy decoding on held-out WER.
+
+    Mechanism (measured, round 3): word = sinusoid frequency, heavy
+    additive noise, Zipfian word frequencies — an underfit model's greedy
+    decode collapses into repeating the most frequent word ("the the
+    the..."), the classic failure mode repetition penalty 5.0 exists for.
+    Words are drawn WITHOUT replacement per sentence, so references never
+    repeat a word and the penalty is purely corrective (word-level tokens —
+    pair with `make_tokenizer("word:<root>/vocab.txt")`; under a byte vocab
+    rp would punish repeated letters instead).
+
+    Splits 85:15 train/test (plus val == test for loader symmetry).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = list(_WORDS[:n_vocab])
+    p = 1.0 / (np.arange(n_vocab) + 1) ** zipf
+    p /= p.sum()
+    freqs = 3.0 + 3.5 * np.arange(n_vocab)
+    clip_dir = os.path.join(root, "clips")
+    os.makedirs(clip_dir, exist_ok=True)
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    seg_n = int(round(seg_dur * SIGNAL_SAMPLE_RATE))
+    gains = np.linspace(0.5, 1.5, n_channels)[:, None]
+    t = np.arange(seg_n) / SIGNAL_SAMPLE_RATE
+    rows = []
+    for i in range(n_clips):
+        nw = int(rng.integers(min_words, max_words + 1))
+        wids = rng.choice(n_vocab, nw, p=p, replace=False)
+        segs, words = [], []
+        for j, wid in enumerate(wids):
+            ph = rng.uniform(0, 2 * np.pi)
+            segs.append(
+                (0.5 * np.sin(2 * np.pi * freqs[wid] * t + ph))[None, :] * gains
+            )
+            words.append({"word": vocab[wid], "start": round(j * seg_dur, 2),
+                          "end": round((j + 1) * seg_dur, 2)})
+        sig = np.concatenate(segs, axis=1)
+        sig = (sig + noise * rng.standard_normal(sig.shape)).astype(np.float32)
+        path = os.path.join(clip_dir, f"zipf_{i}_meg.npy")
+        np.save(path, sig)
+        text = " ".join(vocab[w] for w in wids)
+        dur = round(nw * seg_dur, 2)
+        rows.append({
+            "eeg": {"path": path, "sr": SIGNAL_SAMPLE_RATE},
+            "duration": dur, "language": language, "sentence": text,
+            "sentences": [{"text": text, "start": 0.0, "end": dur,
+                           "duration": dur, "words": words}],
+            "subj": i % 3, "story": f"story_{i % 2}",
+        })
+    n_train = max(1, int(n_clips * 0.85))
+    write_jsonlines(os.path.join(root, "train.jsonl"), rows[:n_train])
+    write_jsonlines(os.path.join(root, "val.jsonl"), rows[n_train:])
+    write_jsonlines(os.path.join(root, "test.jsonl"), rows[n_train:])
+    write_jsonlines(os.path.join(root, "all.jsonl"), rows)
+    return rows

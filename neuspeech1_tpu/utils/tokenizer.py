@@ -242,8 +242,10 @@ class Tokenizer:
 
     def default_begin_suppress_ids(self) -> List[int]:
         """HF whisper's ``begin_suppress_tokens``: the space token and
-        ``<|endoftext|>`` (banned at the first free decode slot)."""
-        return [self.encode(" ")[0], self.config.eot_id]
+        ``<|endoftext|>`` (banned at the first free decode slot). Vocabs
+        with no space token (word-level) keep only the eot ban."""
+        space = self.encode(" ")
+        return ([space[0]] if space else []) + [self.config.eot_id]
 
 
 # Symbol tables for the OpenAI non-speech-token rule (public constants from
@@ -330,6 +332,47 @@ class ByteTokenizer(Tokenizer):
         return f"<|special{i}|>"
 
 
+class WordTokenizer(Tokenizer):
+    """Word-level vocabulary tokenizer: text token id == index in ``vocab``.
+
+    Offline stand-in whose token granularity matches real Whisper BPE more
+    closely than bytes: repetition penalty / no-repeat-ngram operate on
+    WORDS (the reference's beam-5/rp5.0/ngram-2 eval config,
+    `evaluation.py:369-386`, was tuned for subword tokens — under a byte
+    vocab rp punishes repeated letters, which misrepresents it). Pairs with
+    ``WhisperConfig.layout_for_vocab(len(vocab))``.
+    """
+
+    def __init__(self, config: WhisperConfig, vocab: Sequence[str]):
+        super().__init__(config)
+        self.vocab = list(vocab)
+        if config.eot_id != len(self.vocab):
+            raise ValueError(
+                f"WordTokenizer needs a config built with layout_for_vocab("
+                f"{len(self.vocab)}); got eot_id={config.eot_id}"
+            )
+        self._index = {w: i for i, w in enumerate(self.vocab)}
+
+    def encode(self, text: str) -> List[int]:
+        out = []
+        for w in text.split():
+            if w in self._index:
+                out.append(self._index[w])
+        return out
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        words = []
+        for i in ids:
+            i = int(i)
+            if 0 <= i < len(self.vocab):
+                words.append(self.vocab[i])
+        return " ".join(words)
+
+    def non_speech_token_ids(self) -> List[int]:
+        # annotation symbols are not words; nothing vocab-derived to ban
+        return []
+
+
 class HFTokenizerAdapter(Tokenizer):
     """Wrap a local HF WhisperTokenizer (no network access is assumed)."""
 
@@ -355,11 +398,29 @@ class HFTokenizerAdapter(Tokenizer):
 
 
 def make_tokenizer(spec: str, config: Optional[WhisperConfig] = None) -> Tokenizer:
-    """``spec`` is either 'byte' or a local HF tokenizer directory."""
+    """``spec``: 'byte', 'word:<vocab.txt path>' (one word per line), or a
+    local HF tokenizer directory."""
     if spec == "byte":
         if config is None:
             from neuspeech1_tpu.config import tiny_config
 
             config = tiny_config()
         return ByteTokenizer(config)
+    if spec.startswith("word:"):
+        with open(spec[5:]) as f:
+            vocab = [w.strip() for w in f if w.strip()]
+        if config is None or config.eot_id != len(vocab):
+            from neuspeech1_tpu.config import WhisperConfig as _WC
+
+            layout = _WC.layout_for_vocab(len(vocab))
+            kw = {} if config is None else {
+                k: getattr(config, k)
+                for k in ("num_mel_bins", "d_model", "encoder_layers",
+                          "decoder_layers", "encoder_heads", "decoder_heads",
+                          "encoder_ffn", "decoder_ffn",
+                          "max_source_positions", "max_target_positions",
+                          "dtype", "remat")
+            }
+            config = _WC(**{**kw, **layout})
+        return WordTokenizer(config, vocab)
     return HFTokenizerAdapter(spec, config)

@@ -310,3 +310,31 @@ def test_device_cache_sampler(tiny_corpus, tiny_tok):
         assert batch["decoder_input_ids"].shape == (4, 32)
         seen.append(np.asarray(batch["labels"]))
     assert len(seen) == cache.n // 4
+
+
+def test_word_tokenizer_roundtrip(tmp_path):
+    """WordTokenizer: word-level ids, layout check, file-spec construction."""
+    import pytest
+
+    from neuspeech1_tpu.config import WhisperConfig
+    from neuspeech1_tpu.utils.tokenizer import WordTokenizer, make_tokenizer
+
+    vocab = ["alpha", "beta", "gamma"]
+    cfg = WhisperConfig(**WhisperConfig.layout_for_vocab(3))
+    tok = WordTokenizer(cfg, vocab)
+    assert tok.encode("beta alpha gamma") == [1, 0, 2]
+    assert tok.decode([2, 1]) == "gamma beta"
+    # unknown words are dropped, specials skipped in decode
+    assert tok.encode("beta unknown alpha") == [1, 0]
+    assert tok.decode([0, cfg.eot_id, 1]) == "alpha beta"
+    with pytest.raises(ValueError):
+        WordTokenizer(WhisperConfig(), vocab)  # wrong layout
+
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    tok2 = make_tokenizer(f"word:{p}")
+    assert tok2.encode("gamma") == [2]
+    assert tok2.config.eot_id == 3
+    # suppress derivation: no vocab-derived bans, but special-token bans
+    assert tok2.non_speech_token_ids() == []
+    assert tok2.config.sot_id in tok2.default_suppress_ids()
