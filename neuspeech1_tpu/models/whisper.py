@@ -315,7 +315,7 @@ def mha(
             # and the head-strided [B,T,H,D] layout measured at only half
             # HBM bandwidth (0.26 ms per 100 MB einsum; device profile).
             rows, t_q_rows = q.shape[0], q.shape[1]
-            b_c = (cache["k_q"] if "k_q" in cache else cache["k"]).shape[0]
+            b_c = next(iter(cache.values())).shape[0]
             if rows != b_c:
                 # beam search: B·K decoder rows, ONE cross cache per
                 # utterance (cross K/V is beam-invariant) — fold the beam
@@ -323,7 +323,38 @@ def mha(
                 # the cache (K x fewer cross HBM reads, no per-step gather)
                 assert mask is None and rows % b_c == 0
                 q = q.reshape(b_c, (rows // b_c) * t_q_rows, *q.shape[2:])
-            if "k_q" in cache:
+            if "k_btc" in cache:
+                # BTC cross cache: the batched block-diagonal Pallas kernel
+                # for single-row decode steps (TPU; interpret mode on CPU),
+                # BTHD-view einsum (free reshape) for multi-row prefill /
+                # beam-folded queries
+                k_btc, v_btc = cache["k_btc"], cache["v_btc"]
+                t_pad = k_btc.shape[1]
+                dh = q.shape[-1]
+                hh = q.shape[2]
+                if q.shape[1] == 1 and kv_len is not None:
+                    from neuspeech1_tpu.ops.flash_attention import (
+                        flash_decode_cross_btc)
+
+                    out = flash_decode_cross_btc(
+                        q, k_btc.astype(q.dtype), v_btc.astype(q.dtype),
+                        kv_len=kv_len)
+                else:
+                    k = k_btc.reshape(b_c, t_pad, hh, dh).astype(q.dtype)
+                    v = v_btc.reshape(b_c, t_pad, hh, dh).astype(q.dtype)
+                    scores = jnp.einsum(
+                        "bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+                    scores = scores * (dh ** -0.5)
+                    valid = jnp.arange(t_pad) < (
+                        kv_len if kv_len is not None else t_pad)
+                    scores = jnp.where(valid[None, None, None, :], scores,
+                                       jnp.finfo(jnp.float32).min)
+                    if mask is not None:
+                        scores = jnp.where(mask, scores,
+                                           jnp.finfo(jnp.float32).min)
+                    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            elif "k_q" in cache:
                 # int8 cross cache: the big int8 arrays feed the dots raw
                 # (half the HBM bytes of decode's dominant stream); the
                 # per-(b,h,channel) scales fold into the TINY operands —
@@ -694,6 +725,8 @@ def decoder_apply(
                 carry, layer_p, enc_out, self_mask, config.decoder_heads,
                 lora=layer_l, self_cache=self_c, cross_cache=cross_c,
                 cache_index=cache_index,
+                # static true cross length (BTC caches are row-padded)
+                cross_kv_len=enc_out.shape[1],
             )
             return out, (new_self, new_cross)
 
@@ -702,7 +735,14 @@ def decoder_apply(
             if dec_lora is None
             else (dec["layers"], dec_lora, cache["self"], cache["cross"])
         )
-        h, (new_self, new_cross) = lax.scan(body, h, xs)
+        # NEUSPEECH_DECODE_UNROLL=1: unroll the cache-path layer scan so
+        # XLA addresses per-layer cache buffers directly instead of
+        # slicing/stacking the [L, ...] arrays every token (tiny-M decode
+        # steps are op-overhead-bound; measured on-chip round 3)
+        unroll = 1
+        if _os.environ.get("NEUSPEECH_DECODE_UNROLL", "0") == "1":
+            unroll = True
+        h, (new_self, new_cross) = lax.scan(body, h, xs, unroll=unroll)
         new_cache = {"self": new_self, "cross": new_cross}
 
     h = layer_norm(h, dec["ln"])
@@ -722,13 +762,44 @@ def _quantize_kv_int8(x):
     return q, scale
 
 
+def _decode_cross_layout(config: WhisperConfig, int8_cross: bool) -> str:
+    """Cross-cache layout for incremental decode.
+
+    'btc'  [B, Tpad, H*D]: the K/V projections' NATIVE layout (no build
+           transpose) feeding the batched block-diagonal Pallas kernel
+           (`ops/flash_attention.py::flash_decode_cross_btc`) on TPU —
+           round-3 probe: 325 GB/s vs 27-29 GB/s for same-layout XLA;
+    'bhtd' [B, H, T, D]: contiguous per-(b,h) panes for the XLA batched
+           matmul (round-2 path; also carries the int8 variant).
+    NEUSPEECH_DECODE_CROSS overrides ('btc'|'bhtd'); default 'auto'.
+    """
+    mode = _os.environ.get("NEUSPEECH_DECODE_CROSS", "auto")
+    if mode in ("btc", "bhtd"):
+        return mode
+    if int8_cross:
+        return "bhtd"  # int8 rides the proven XLA path
+    from neuspeech1_tpu.ops.flash_attention import (
+        decode_cross_btc_available, on_tpu)
+
+    h = config.decoder_heads
+    d = config.d_model // h
+    if decode_cross_btc_available(config.max_source_positions, d, h,
+                                  itemsize=jnp.dtype(config.dtype).itemsize):
+        # CPU runs the same kernel in interpret mode (parity-tested); the
+        # layout choice is shape-static either way
+        return "btc"
+    return "bhtd"
+
+
 def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
                int8_cross: bool = False, self_batch: Optional[int] = None):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
     self k/v: [L, B, max_len, H, Dh] (BTHD — rows written incrementally);
-    cross k/v: [L, B, H, T_src, Dh] (BHTD — transposed ONCE here so the
-    per-token full-cache reads stream contiguously; see `mha`).
+    cross k/v: layout per `_decode_cross_layout` — 'btc' [L, B, Tpad, H·Dh]
+    (kernel-native, zero-padded rows masked via the static kv_len) or
+    'bhtd' [L, B, H, T_src, Dh] (transposed ONCE here so the per-token
+    full-cache XLA reads stream contiguously; see `mha`).
 
     ``int8_cross``: store the cross K/V int8 with per-(b,h,channel) scales —
     incremental decode re-reads the WHOLE cross cache every token, so
@@ -747,12 +818,20 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
     h = config.decoder_heads
     dh = config.d_model // h
     L = jax.tree_util.tree_leaves(dec["layers"])[0].shape[0]
+    layout = _decode_cross_layout(config, int8_cross)
 
     def per_layer_cross(layer_p):
-        k = _split_heads(linear(enc_out.astype(dtype), layer_p["cross_attn"]["k"]), h)
-        v = _split_heads(linear(enc_out.astype(dtype), layer_p["cross_attn"]["v"]), h)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+        kc = linear(enc_out.astype(dtype), layer_p["cross_attn"]["k"])
+        vc = linear(enc_out.astype(dtype), layer_p["cross_attn"]["v"])
+        if layout == "btc":
+            t = kc.shape[1]
+            t_pad = -(-t // 8) * 8
+            if t_pad != t:
+                kc = jnp.pad(kc, ((0, 0), (0, t_pad - t), (0, 0)))
+                vc = jnp.pad(vc, ((0, 0), (0, t_pad - t), (0, 0)))
+            return {"k_btc": kc, "v_btc": vc}
+        k = _split_heads(kc, h).transpose(0, 2, 1, 3)
+        v = _split_heads(vc, h).transpose(0, 2, 1, 3)
         if int8_cross:
             k_q, k_s = _quantize_kv_int8(k)
             v_q, v_s = _quantize_kv_int8(v)
@@ -760,6 +839,8 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
         return {"k": k, "v": v}
 
     cross = jax.vmap(per_layer_cross)(dec["layers"])
+    # the true (pre-pad) kv length is re-derived statically from
+    # enc_out.shape[1] inside decoder_apply — no dynamic state in the cache
     zeros = jnp.zeros((L, self_batch or b, max_len, h, dh), dtype)
     return {"self": {"k": zeros, "v": zeros}, "cross": cross}
 

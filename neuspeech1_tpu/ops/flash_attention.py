@@ -741,6 +741,104 @@ def flash_decode_cross(q, k, v, kv_len: Optional[int] = None):
     return out.reshape(b, h, t_q, d).transpose(0, 2, 1, 3)
 
 
+# ----------------------------------------------------------------------
+# Batched tiny-q decode cross-attention (round 3): the winning shape after
+# the per-row grids above lost. Grid (B, H/hp) with hp heads per 128-lane
+# block; K/V live in the cache's natural BTC layout [B, T, H*D] (written
+# straight from the K/V projections — no transpose at build time). The
+# tiny q is handled WITHOUT transposes via a block-diagonal selector:
+#   scores  S[t, j] = sum_c (k[t,c] * q[c]) * M[c, j],  M[c,j] = (c//D == j)
+#           — ONE [T, W]x[W, 128] MXU dot with T as the M dimension
+#             (per-row grids made T the N dim and serialized tiny dots);
+#   output  o = P^T V via ONE [T,128]x[T,W] dot, then a masked sublane
+#           reduce extracts each head's o[h, h*D:(h+1)*D] row;
+#   softmax l-normalization rides a [1,128]x[128,W] selector dot so no
+#           lane-gather (Mosaic can't lower those) and no [T,128] divide.
+# Measured (probe, whisper-base bs64 T=1536 bf16): 3.7 ms per 6-layer
+# cross pass = 325 GB/s vs 27-29 GB/s for the same-layout XLA chain; the
+# full-C (hp=8) variant measured 12x slower (44 ms) and per-(b,h) grids
+# 8-19 ms/token (kept below as the documented reject).
+# ----------------------------------------------------------------------
+
+
+def _decode_cross_btc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_kv,
+                             d_head, hp):
+    w = hp * d_head
+    q = q_ref[0, 0:1, :]                     # [1, W] (row 0 = the query)
+    k = k_ref[0]                             # [Tpad, W]
+    kq = (k * q).astype(k.dtype)
+    sel = (lax.broadcasted_iota(jnp.int32, (w, 128), 0) // d_head
+           == lax.broadcasted_iota(jnp.int32, (w, 128), 1))
+    m_mat = sel.astype(k.dtype)              # [W, 128] (hp valid columns)
+    s = lax.dot_general(kq, m_mat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+    t_idx = lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(t_idx < t_kv, s, NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)                       # [Tpad, 128]
+    l = jnp.sum(p, axis=0, keepdims=True)    # [1, 128]
+    o = lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [128, W]
+    colc = lax.broadcasted_iota(jnp.int32, (128, w), 1)
+    rowr = lax.broadcasted_iota(jnp.int32, (128, w), 0)
+    keep = (colc // d_head) == rowr
+    out_row = jnp.sum(jnp.where(keep, o, 0.0), axis=0, keepdims=True)  # [1,W]
+    # per-head normalizer mapped to channels via a selector dot (the direct
+    # l[c//D] indexing is a lane gather Mosaic cannot lower)
+    sel_l = (lax.broadcasted_iota(jnp.int32, (128, w), 0)
+             == lax.broadcasted_iota(jnp.int32, (128, w), 1) // d_head)
+    l_row = lax.dot_general(l, sel_l.astype(jnp.float32),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [1, W]
+    o_ref[0, 0:1, :] = (out_row / l_row).astype(o_ref.dtype)
+
+
+def flash_decode_cross_btc(q, k, v, kv_len: Optional[int] = None):
+    """Single-token cross-attention over a BTC cache.
+
+    q: [B, 1, H, D]; k, v: [B, Tpad, H*D] (zero-padded rows past ``kv_len``
+    are masked). Returns [B, 1, H, D] in q.dtype. Grid (B, H/hp)."""
+    b, t_q, h, d = q.shape
+    assert t_q == 1
+    c = h * d
+    hp = _btc_heads_per_block(d)
+    w = hp * d
+    t_pad = k.shape[1]
+    t_kv = kv_len if kv_len is not None else t_pad
+    qp = jnp.pad(q.reshape(b, 1, c), ((0, 0), (0, 7), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_decode_cross_btc_kernel, scale=d ** -0.5,
+                          t_kv=t_kv, d_head=d, hp=hp),
+        grid=(b, h // hp),
+        in_specs=[
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, w), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, w), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, c), q.dtype),
+        interpret=not on_tpu(),
+    )(qp, k, v)
+    return out[:, :1].reshape(b, 1, h, d)
+
+
+def decode_cross_btc_available(t_kv: int, d: int, n_heads: int,
+                               itemsize: int = 2) -> bool:
+    """BTC decode kernel gate: head grouping must tile 128 lanes and the
+    per-instance K/V panes must fit VMEM double-buffered."""
+    if d not in (32, 64, 128) or n_heads % _btc_heads_per_block(d) != 0:
+        return False
+    t_pad = _round_up(t_kv, 8)
+    # k + v panes (itemsize) + f32 scores/probs [Tpad, 128]
+    vmem = 2 * 2 * t_pad * 128 * itemsize + 2 * t_pad * 128 * 4
+    return vmem < 14 * 1024 * 1024
+
+
 def decode_cross_available(t_kv: int, d: int, n_heads: int,
                            itemsize: int = 2) -> bool:
     """Per-(batch, head) K/V blocks must fit VMEM with double buffering.

@@ -509,3 +509,70 @@ def test_btc_channel_shard_fallback_on_mesh(monkeypatch):
     gr = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(_ref_bthd(q, k, v))))(q, k, v)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
                                atol=2e-4)
+
+
+# ----------------------------------------------------------------------
+# batched block-diagonal decode cross-attention (round 3)
+# ----------------------------------------------------------------------
+
+def test_decode_cross_btc_kernel_parity():
+    """flash_decode_cross_btc (interpret mode on CPU) == reference einsum,
+    including masking of zero-padded cache rows."""
+    from neuspeech1_tpu.ops.flash_attention import flash_decode_cross_btc
+
+    rng = np.random.default_rng(3)
+    for (b, h, d, t, t_pad) in [(2, 8, 64, 37, 40), (3, 4, 32, 16, 16),
+                                (1, 2, 128, 50, 56)]:
+        c = h * d
+        q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, t_pad, c)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, t_pad, c)), jnp.float32)
+        out = np.asarray(flash_decode_cross_btc(q, k, v, kv_len=t))
+        kb = np.asarray(k).reshape(b, t_pad, h, d)[:, :t]
+        vb = np.asarray(v).reshape(b, t_pad, h, d)[:, :t]
+        s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), kb) * (d ** -0.5)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        ref = np.einsum("bhqk,bkhd->bqhd", p, vb)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{(b, h, d, t)}")
+
+
+def test_decode_cross_layouts_agree(monkeypatch):
+    """Greedy decode tokens identical under the 'btc' (kernel) and 'bhtd'
+    (XLA) cross-cache layouts; beam search (multi-row fallback) likewise."""
+    import jax
+
+    from neuspeech1_tpu.config import StemConfig, WhisperConfig
+    from neuspeech1_tpu.decode.generate import (
+        GenerationConfig, beam_search, greedy_decode)
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg = WhisperConfig(
+        **WhisperConfig.layout_for_vocab(64),
+        num_mel_bins=8, d_model=128, encoder_layers=2, decoder_layers=2,
+        encoder_heads=4, decoder_heads=4, encoder_ffn=128, decoder_ffn=128,
+        max_source_positions=12, max_target_positions=24, dtype="float32",
+    )  # d_head=32 -> hp=4, heads=4: BTC kernel available
+    stem = StemConfig("base", in_channels=4)
+    params = init_params(jax.random.key(5), cfg, stem)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 4, cfg.max_source_positions * 4)
+                                ).astype(np.float32)
+    prompt = np.asarray([[cfg.sot_id, cfg.first_language_id,
+                          cfg.transcribe_id, cfg.notimestamps_id]] * 2,
+                        np.int32)
+    gen = GenerationConfig.for_model(cfg, max_length=12)
+    genb = GenerationConfig.for_model(cfg, max_length=12, num_beams=3)
+
+    outs = {}
+    for layout in ("bhtd", "btc"):
+        monkeypatch.setenv("NEUSPEECH_DECODE_CROSS", layout)
+        g = np.asarray(greedy_decode(params, feats, prompt, cfg, stem, gen))
+        bseq, bscore = beam_search(params, feats, prompt, cfg, stem, genb)
+        outs[layout] = (g, np.asarray(bseq), np.asarray(bscore))
+        # new trace per layout (env read inside init_cache at trace time)
+        jax.clear_caches()
+    np.testing.assert_array_equal(outs["btc"][0], outs["bhtd"][0])
+    np.testing.assert_array_equal(outs["btc"][1], outs["bhtd"][1])
+    np.testing.assert_allclose(outs["btc"][2], outs["bhtd"][2], rtol=1e-4)
