@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("repetition_penalty", float, 5.0, "repetition penalty")
     add_arg("no_repeat_ngram_size", int, 2, "ngram ban size")
     add_arg("max_new_tokens", int, 128, "decode budget after the prompt")
+    add_arg("do_sample", bool, False,
+            "multinomial sampling instead of greedy/beam (reference "
+            "process_str.py strategies)")
+    add_arg("temperature", float, 1.0, "sampling temperature")
+    add_arg("top_k", int, 0, "sampling top-k (0 = off)")
+    add_arg("top_p", float, 1.0, "sampling top-p (1.0 = off)")
+    add_arg("sample_seed", int, 0, "PRNG seed for --do_sample")
     add_arg("teacher_forcing", bool, False, "argmax under gold prefix")
     add_arg("noise", bool, False, "replace inputs with noise (ablation)")
     add_arg("random_choice", bool, False, "random-label baseline")
@@ -174,12 +181,19 @@ def main(argv=None):
     gen = GenerationConfig.for_model(
         config,
         max_length=prompt.shape[1] + args.max_new_tokens,
-        num_beams=args.num_beams,
+        num_beams=1 if args.do_sample else args.num_beams,
         repetition_penalty=args.repetition_penalty,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
         timestamps=args.timestamps,  # whisper timestamp grammar
+        do_sample=args.do_sample, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p,
         **common.suppress_kwargs(args.suppress_tokens, tokenizer),
     )
+    sample_rng = None
+    if args.do_sample:
+        import jax as _jax
+
+        sample_rng = _jax.random.key(args.sample_seed)
 
     preds, refs = [], []
     rng = np.random.default_rng(0)
@@ -218,7 +232,8 @@ def main(argv=None):
             else:
                 bp = np.repeat(prompt, feats.shape[0], axis=0)
             out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
-                                      stem, gen, bias_spec=bias_spec))
+                                      stem, gen, bias_spec=bias_spec,
+                                      rng=sample_rng))
             if args.prompt_text:
                 # drop the prompt span so its words don't leak into preds
                 out = out[:, prompt.shape[1]:]

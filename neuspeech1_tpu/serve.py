@@ -36,6 +36,11 @@ class Transcriber:
         int8_weights: bool = False,
         int8_kv_cache: bool = False,
         suppress_tokens: str = "default",
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        sample_seed: int = 0,
     ):
         """``suppress_tokens``: 'default' derives the HF whisper suppress /
         begin-suppress lists from the tokenizer's vocab (what a downloaded
@@ -71,8 +76,11 @@ class Transcriber:
             repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram_size,
             int8_kv_cache=int8_kv_cache,
+            do_sample=do_sample, temperature=temperature, top_k=top_k,
+            top_p=top_p,
             **common.suppress_kwargs(suppress_tokens, self.tokenizer),
         )
+        self._sample_seed = sample_seed
 
     # ------------------------------------------------------------------
     @property
@@ -107,6 +115,11 @@ class Transcriber:
         signals = self._prepare(signals)
         out_texts: List[str] = []
         bs = self.batch_size
+        sample_rng = None
+        if self.gen.do_sample:
+            import jax
+
+            sample_rng = jax.random.key(self._sample_seed)
         for i in range(0, signals.shape[0], bs):
             chunk = signals[i : i + bs]
             n = chunk.shape[0]
@@ -117,7 +130,7 @@ class Transcriber:
             prompt = np.repeat(self.prompt, bs, axis=0)
             out = np.asarray(
                 generate(self.params, jnp.asarray(chunk), prompt, self.config,
-                         self.stem, self.gen)
+                         self.stem, self.gen, rng=sample_rng)
             )
             out_texts.extend(self.tokenizer.batch_decode(out[:n]))
         return out_texts

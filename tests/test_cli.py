@@ -294,3 +294,22 @@ def test_finetune_speech_modality(cli_run, tmp_path_factory):
     log = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
     losses = [r["loss"] for r in log if "loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_evaluate_sampling_strategies(cli_run, tmp_path_factory):
+    """--do_sample with top-k/top-p (reference process_str.py strategies):
+    runs end to end, deterministic under a fixed --sample_seed."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+
+    corpus, out = cli_run
+    d1 = str(tmp_path_factory.mktemp("samp1"))
+    common = [
+        f"--test_data={corpus}/test.jsonl", "--base_model=random",
+        "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=2",
+        "--max_new_tokens=6", "--do_sample=True", "--top_k=5",
+        "--temperature=1.3", "--top_p=0.9", "--sample_seed=3",
+    ]
+    m1 = evaluate(common + [f"--output_dir={d1}"])
+    d2 = str(tmp_path_factory.mktemp("samp2"))
+    m2 = evaluate(common + [f"--output_dir={d2}"])
+    assert m1["wer"] == m2["wer"]  # same seed -> same draws
