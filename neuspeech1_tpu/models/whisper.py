@@ -735,13 +735,19 @@ def decoder_apply(
             if dec_lora is None
             else (dec["layers"], dec_lora, cache["self"], cache["cross"])
         )
-        # NEUSPEECH_DECODE_UNROLL=1: unroll the cache-path layer scan so
-        # XLA addresses per-layer cache buffers directly instead of
-        # slicing/stacking the [L, ...] arrays every token (tiny-M decode
-        # steps are op-overhead-bound; measured on-chip round 3)
-        unroll = 1
-        if _os.environ.get("NEUSPEECH_DECODE_UNROLL", "0") == "1":
-            unroll = True
+        # Unroll the cache-path layer scan on TPU (default; measured −0.16
+        # ms/token at whisper-base bs64 int8: XLA addresses per-layer cache
+        # buffers directly instead of slicing/stacking the [L, ...] arrays
+        # every token — tiny-M decode steps are op-overhead-bound). CPU
+        # keeps the rolled scan for compile speed; NEUSPEECH_DECODE_UNROLL
+        # overrides ('1'/'0').
+        env = _os.environ.get("NEUSPEECH_DECODE_UNROLL")
+        if env is not None:
+            unroll = True if env == "1" else 1
+        else:
+            from neuspeech1_tpu.ops.flash_attention import on_tpu
+
+            unroll = True if on_tpu() else 1
         h, (new_self, new_cross) = lax.scan(body, h, xs, unroll=unroll)
         new_cache = {"self": new_self, "cross": new_cross}
 
@@ -776,18 +782,13 @@ def _decode_cross_layout(config: WhisperConfig, int8_cross: bool) -> str:
     mode = _os.environ.get("NEUSPEECH_DECODE_CROSS", "auto")
     if mode in ("btc", "bhtd"):
         return mode
-    if int8_cross:
-        return "bhtd"  # int8 rides the proven XLA path
-    from neuspeech1_tpu.ops.flash_attention import (
-        decode_cross_btc_available, on_tpu)
-
-    h = config.decoder_heads
-    d = config.d_model // h
-    if decode_cross_btc_available(config.max_source_positions, d, h,
-                                  itemsize=jnp.dtype(config.dtype).itemsize):
-        # CPU runs the same kernel in interpret mode (parity-tested); the
-        # layout choice is shape-static either way
-        return "btc"
+    # 'bhtd' measured FASTER in-program (round 3, whisper-base bs64 greedy:
+    # 4.46 vs 5.87 ms/token): XLA lowers the per-(b,h) matvec as
+    # multiply+lane-reduce VPU fusions that stream the cache at full HBM
+    # bandwidth (~1.4 ms/token of the total), while the MXU-based BTC
+    # kernel pays a 16x N-padding compute tax (3.7 ms for the same bytes).
+    # The BTC kernel stays selectable for geometries with more heads*beams
+    # per 128 lanes; see ops/flash_attention.py::flash_decode_cross_btc.
     return "bhtd"
 
 
