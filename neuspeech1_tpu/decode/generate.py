@@ -163,8 +163,19 @@ def greedy_decode(
     )
     last = logits[:, -1]
 
+    # NEUSPEECH_DECODE_FIXED_TRIPS=1: drop the all-finished early exit so
+    # the loop condition is pure scalar work (no per-iteration [B] vector
+    # reduce feeding the sequencer) — an A/B for the launch-gap overhead
+    # that dominates tiny-M decode steps; outputs are identical because
+    # finished rows keep emitting pad.
+    import os as _os
+
+    fixed_trips = _os.environ.get("NEUSPEECH_DECODE_FIXED_TRIPS") == "1"
+
     def cond(st):
         tokens, cache, last, cur_len, finished = st
+        if fixed_trips:
+            return cur_len < L
         return (cur_len < L) & ~jnp.all(finished)
 
     def body(st):

@@ -95,11 +95,10 @@ def timed(tag, state, frozen, step, allocate_every=0, base_step=400):
     totals = []
     for _ in range(3):
         t0 = time.perf_counter()
-        si = s
         for i in range(K):
-            si, m = step(si, frozen, batch)
+            s, m = step(s, frozen, batch)
             if allocate_every and (i + 1) % allocate_every == 0:
-                si = host_allocate(si, base_step + i)
+                s = host_allocate(s, base_step + i)
         float(jax.device_get(m["loss"]))
         totals.append(time.perf_counter() - t0)
     dt = sorted(totals)[1] / K
