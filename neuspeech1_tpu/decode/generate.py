@@ -53,6 +53,16 @@ class GenerationConfig:
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
+    # beam search exact top-C prefilter: every live processor
+    # (suppress/begin-suppress/min-new/rp>=1/ngram) only LOWERS scores, so
+    # the post-processor top-2K is a subset of the raw-logprob top-C for
+    # C >= 2K + (#tokens any processor can touch); processors then run on
+    # [B*K, C] instead of [B*K, V]. Measured REJECT on v5e at whisper-base
+    # bs32 (beam 215 -> 315 ms/batch): the wide-k lax.top_k prefilter costs
+    # far more than the full-vocab processor passes it removes. 'on'
+    # enables where exactness holds (no bias spec, no timestamps, rp >= 1);
+    # default 'off'.
+    beam_prefilter: str = "off"
     # timestamp decoding (whisper grammar; decode/timestamps.py)
     timestamps: bool = False
     timestamp_begin: int = 50364
@@ -107,6 +117,75 @@ def build_prompt(tokenizer, language="english", task="transcribe",
 
     return np.asarray([tokenizer.prefix_tokens(language, task, timestamps)],
                       dtype=np.int32)
+
+
+def _process_logits_subset(vals, ids, tokens, cur_len,
+                           gen: GenerationConfig, prompt_len: int):
+    """Processor chain evaluated ONLY at candidate tokens ``ids`` [R, C]
+    with scores ``vals`` [R, C] (same semantics as `_process_logits` on the
+    full vocab, restricted to processors that can only lower scores —
+    `beam_prefilter` gates usage to exactly that case)."""
+    vals = vals.astype(jnp.float32)
+    NEG = jnp.float32(-1e9)
+    if gen.suppress_ids:
+        sup = jnp.asarray(gen.suppress_ids, jnp.int32)
+        vals = jnp.where(
+            jnp.any(ids[:, :, None] == sup[None, None, :], axis=-1), NEG, vals
+        )
+    if gen.begin_suppress_ids:
+        beg = jnp.asarray(gen.begin_suppress_ids, jnp.int32)
+        hit = jnp.any(ids[:, :, None] == beg[None, None, :], axis=-1)
+        vals = jnp.where(hit & (cur_len == prompt_len), NEG, vals)
+    if gen.min_new_tokens:
+        vals = jnp.where(
+            (ids == gen.eos_id)
+            & (cur_len < prompt_len + gen.min_new_tokens), NEG, vals)
+    l = tokens.shape[-1]
+    if gen.repetition_penalty != 1.0:
+        p = jnp.float32(gen.repetition_penalty)
+        valid = (jnp.arange(l)[None, None, :] < cur_len)
+        seen = jnp.any(
+            (tokens[:, None, :] == ids[:, :, None]) & valid, axis=-1)
+        pen = jnp.where(vals > 0, vals / p, vals * p)
+        vals = jnp.where(seen, pen, vals)
+    n = gen.no_repeat_ngram_size
+    if n > 0 and l >= n:
+        num_w = l - n + 1
+        if n > 1:
+            tails = [
+                jnp.take_along_axis(
+                    tokens,
+                    (cur_len - (n - 1) + o)[None, None].astype(jnp.int32),
+                    axis=1)[:, 0]
+                for o in range(n - 1)
+            ]
+            tail = jnp.stack(tails, axis=1)  # [R, n-1]
+            widx = jnp.arange(num_w)[:, None] + jnp.arange(n - 1)[None, :]
+            windows = tokens[:, widx]
+            match = jnp.all(windows == tail[:, None, :], axis=-1)  # [R, W]
+        else:
+            match = jnp.ones((tokens.shape[0], num_w), bool)
+        nexts = tokens[:, jnp.arange(num_w) + (n - 1)]  # [R, W]
+        in_range = (jnp.arange(num_w)[None, :] + (n - 1)) <= (cur_len - 1)
+        match = match & in_range & (cur_len >= (n - 1))
+        banned = jnp.any(
+            (nexts[:, None, :] == ids[:, :, None]) & match[:, None, :],
+            axis=-1)
+        vals = jnp.where(banned, NEG, vals)
+    return vals
+
+
+def _beam_prefilter_count(gen: GenerationConfig, vocab: int,
+                          buf_len: int) -> int:
+    """Static candidate count C: 2K survivors + every token a (lowering)
+    processor could demote, rounded up to a lane multiple."""
+    n = gen.no_repeat_ngram_size
+    c = (2 * gen.num_beams
+         + len(gen.suppress_ids) + len(gen.begin_suppress_ids)
+         + (1 if gen.min_new_tokens else 0)
+         + (buf_len if gen.repetition_penalty != 1.0 else 0)
+         + (max(buf_len - n + 1, 0) if n > 0 else 0))
+    return min(vocab, -(-c // 128) * 128)
 
 
 def _process_logits(logits, tokens, cur_len, gen: GenerationConfig,
@@ -311,6 +390,17 @@ def beam_search(
     P = prompt_ids.shape[1]
     L = gen.max_length
     NEG = jnp.float32(-1e9)
+    V_stat = params["decoder"]["token_embed"].shape[0]
+    C = _beam_prefilter_count(gen, V_stat, L)
+    # exactness holds only for score-LOWERING processors (see the config
+    # field doc); 'auto' gates on that
+    use_prefilter = (
+        gen.beam_prefilter == "on"
+        and bias_spec is None
+        and not gen.timestamps
+        and gen.repetition_penalty >= 1.0
+        and C < V_stat
+    )
 
     enc = jw.encoder_apply(params, features, config, stem, lora=lora)
     # cross K/V is beam-invariant: keep ONE cross cache per utterance
@@ -359,15 +449,33 @@ def beam_search(
         # HF beam search order: log_softmax FIRST, then the processor chain
         # on the log-probs (contrast greedy, which processes raw logits).
         logp = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
-        logp = _process_logits(
-            logp, tokens.reshape(B * K, L), cur_len, gen, bias_spec, P
-        ).reshape(B, K, V)
-        total = alive_logp[..., None] + logp  # [B, K, V]
+        if use_prefilter:
+            # exact top-C prefilter: processors can only lower scores, so
+            # the post-processor top-2K lives inside the raw top-C; the
+            # chain then runs on [B*K, C] instead of [B*K, V] (tie order
+            # preserved — top_k is index-stable, so equal-score candidates
+            # keep vocab-id order within a beam and beam-major across)
+            cand_vals, cand_ids = lax.top_k(logp, C)      # [B*K, C]
+            cand_vals = _process_logits_subset(
+                cand_vals, cand_ids, tokens.reshape(B * K, L), cur_len,
+                gen, P)
+            total = alive_logp.reshape(B * K, 1) + cand_vals
+            flat = total.reshape(B, K * C)
+            top_vals, top_idx = lax.top_k(flat, 2 * K)    # [B, 2K]
+            top_beam = top_idx // C
+            top_tok = jnp.take_along_axis(
+                cand_ids.reshape(B, K * C), top_idx, axis=1
+            ).astype(jnp.int32)
+        else:
+            logp = _process_logits(
+                logp, tokens.reshape(B * K, L), cur_len, gen, bias_spec, P
+            ).reshape(B, K, V)
+            total = alive_logp[..., None] + logp  # [B, K, V]
 
-        flat = total.reshape(B, K * V)
-        top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
-        top_beam = top_idx // V
-        top_tok = (top_idx % V).astype(jnp.int32)
+            flat = total.reshape(B, K * V)
+            top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
+            top_beam = top_idx // V
+            top_tok = (top_idx % V).astype(jnp.int32)
         is_eos = top_tok == gen.eos_id
 
         # ---- finished update: eos candidates fold into the finished set

@@ -105,9 +105,12 @@ def no_repeat_ngram(logits, tokens, cur_len, n: int):
     in_range = (jnp.arange(num_w)[None, :] + (n - 1)) <= (cur_len - 1)
     # HF also requires the ngram to start anywhere in [0, cur_len-n]
     match = match & in_range
-    ban = jax.vmap(
-        lambda nx, mt: jnp.zeros((v,), bool).at[nx].max(mt)
-    )(nexts, match)
+    # dense one-hot compare + reduce over windows: XLA fuses this into a
+    # streaming reduction (like `repetition_penalty`'s `seen`), while the
+    # equivalent `.at[nexts].max(match)` scatter serializes on TPU (the
+    # inner while loop in the round-3 beam device trace)
+    onehot = nexts[:, :, None] == jnp.arange(v, dtype=tokens.dtype)[None, None]
+    ban = jnp.any(onehot & match[:, :, None], axis=1)  # [B, V]
     # only active once we have a full (n-1) tail
     active = cur_len >= (n - 1)
     ban = ban & active

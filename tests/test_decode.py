@@ -578,3 +578,21 @@ def test_sample_decode_properties(gen_pair):
     b = np.asarray(sample_decode(params, feats, prompt, jax.random.key(3),
                                  cfg, stem, gen_s))
     np.testing.assert_array_equal(a, b)
+
+
+def test_beam_prefilter_parity(gen_pair):
+    """beam_prefilter='on' (exact top-C subset processors) reproduces the
+    full-vocab path token-exactly under the reference penalties."""
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    base = dict(max_length=L, num_beams=4, repetition_penalty=5.0,
+                no_repeat_ngram_size=2, min_new_tokens=2)
+    g_off = GenerationConfig.for_model(cfg, **base)
+    g_on = GenerationConfig.for_model(cfg, beam_prefilter="on", **base)
+    s_off, v_off = beam_search(params, feats, prompt, cfg,
+                               StemConfig("speech"), g_off)
+    s_on, v_on = beam_search(params, feats, prompt, cfg,
+                             StemConfig("speech"), g_on)
+    np.testing.assert_array_equal(np.asarray(s_on), np.asarray(s_off))
+    np.testing.assert_allclose(np.asarray(v_on), np.asarray(v_off),
+                               rtol=1e-5)
