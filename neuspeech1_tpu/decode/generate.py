@@ -120,11 +120,15 @@ def build_prompt(tokenizer, language="english", task="transcribe",
 
 
 def _process_logits_subset(vals, ids, tokens, cur_len,
-                           gen: GenerationConfig, prompt_len: int):
+                           gen: GenerationConfig, prompt_len: int,
+                           seen=None):
     """Processor chain evaluated ONLY at candidate tokens ``ids`` [R, C]
     with scores ``vals`` [R, C] (same semantics as `_process_logits` on the
     full vocab, restricted to processors that can only lower scores —
-    `beam_prefilter` gates usage to exactly that case)."""
+    `beam_prefilter` gates usage to exactly that case). ``seen`` is the
+    loop-maintained [R, V] seen-token set (see `lp.update_seen`); when
+    given, the repetition penalty is a C-wide gather instead of an
+    O(C*L) buffer compare."""
     vals = vals.astype(jnp.float32)
     NEG = jnp.float32(-1e9)
     if gen.suppress_ids:
@@ -143,11 +147,14 @@ def _process_logits_subset(vals, ids, tokens, cur_len,
     l = tokens.shape[-1]
     if gen.repetition_penalty != 1.0:
         p = jnp.float32(gen.repetition_penalty)
-        valid = (jnp.arange(l)[None, None, :] < cur_len)
-        seen = jnp.any(
-            (tokens[:, None, :] == ids[:, :, None]) & valid, axis=-1)
+        if seen is not None:
+            seen_c = jnp.take_along_axis(seen, ids, axis=1)  # [R, C]
+        else:
+            valid = (jnp.arange(l)[None, None, :] < cur_len)
+            seen_c = jnp.any(
+                (tokens[:, None, :] == ids[:, :, None]) & valid, axis=-1)
         pen = jnp.where(vals > 0, vals / p, vals * p)
-        vals = jnp.where(seen, pen, vals)
+        vals = jnp.where(seen_c, pen, vals)
     n = gen.no_repeat_ngram_size
     if n > 0 and l >= n:
         num_w = l - n + 1
@@ -189,7 +196,10 @@ def _beam_prefilter_count(gen: GenerationConfig, vocab: int,
 
 
 def _process_logits(logits, tokens, cur_len, gen: GenerationConfig,
-                    bias_spec, prompt_len: int):
+                    bias_spec, prompt_len: int, seen=None):
+    """``seen`` is the loop-maintained seen-token set [B, V] (exactly the
+    tokens the dense buffer rescan would find — see `lp.update_seen`);
+    when given, the repetition penalty skips the O(L*V) rescan."""
     logits = logits.astype(jnp.float32)
     logits = lp.suppress_tokens(logits, gen.suppress_ids)
     logits = lp.suppress_tokens_at_begin(
@@ -198,7 +208,12 @@ def _process_logits(logits, tokens, cur_len, gen: GenerationConfig,
     logits = lp.apply_min_new_tokens(
         logits, cur_len, prompt_len, gen.min_new_tokens, gen.eos_id
     )
-    logits = lp.repetition_penalty(logits, tokens, cur_len, gen.repetition_penalty)
+    if seen is not None:
+        logits = lp.repetition_penalty_from_seen(
+            logits, seen, gen.repetition_penalty)
+    else:
+        logits = lp.repetition_penalty(
+            logits, tokens, cur_len, gen.repetition_penalty)
     logits = lp.no_repeat_ngram(logits, tokens, cur_len, gen.no_repeat_ngram_size)
     logits = lp.sequence_bias(logits, tokens, cur_len, bias_spec)
     if gen.timestamps:
@@ -251,28 +266,39 @@ def greedy_decode(
 
     fixed_trips = _os.environ.get("NEUSPEECH_DECODE_FIXED_TRIPS") == "1"
 
+    # seen-token set maintained incrementally (exact: each appended token is
+    # precisely what the dense rescan would newly pick up next iteration)
+    use_seen = gen.repetition_penalty != 1.0
+    V = last.shape[-1]
+    seen0 = (lp.seen_from_tokens(tokens[:, :p], jnp.asarray(p), V)
+             if use_seen else jnp.zeros((b, 1), bool))
+
     def cond(st):
-        tokens, cache, last, cur_len, finished = st
+        tokens, cache, last, cur_len, finished, seen = st
         if fixed_trips:
             return cur_len < L
         return (cur_len < L) & ~jnp.all(finished)
 
     def body(st):
-        tokens, cache, last, cur_len, finished = st
-        scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p)
+        tokens, cache, last, cur_len, finished, seen = st
+        scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p,
+                                 seen=seen if use_seen else None)
         nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, gen.pad_id, nxt)
         tokens = jax.vmap(
             lambda row, t, i: lax.dynamic_update_slice(row, t[None], (i,))
         )(tokens, nxt, jnp.full((b,), cur_len))
         finished = finished | (nxt == gen.eos_id)
+        if use_seen:
+            seen = lp.update_seen(seen, nxt)
         logits, cache2 = jw.decoder_apply(
             params, nxt[:, None], enc, config, lora=lora,
             cache=cache, cache_index=cur_len,
         )
-        return (tokens, cache2, logits[:, -1], cur_len + 1, finished)
+        return (tokens, cache2, logits[:, -1], cur_len + 1, finished, seen)
 
-    init = (tokens, cache, last, jnp.asarray(p, jnp.int32), jnp.zeros((b,), bool))
+    init = (tokens, cache, last, jnp.asarray(p, jnp.int32),
+            jnp.zeros((b,), bool), seen0)
     tokens, *_ = lax.while_loop(cond, body, init)
     return tokens
 
@@ -314,13 +340,19 @@ def sample_decode(
     )
     last = logits[:, -1]
 
+    use_seen = gen.repetition_penalty != 1.0
+    V = last.shape[-1]
+    seen0 = (lp.seen_from_tokens(tokens[:, :p], jnp.asarray(p), V)
+             if use_seen else jnp.zeros((b, 1), bool))
+
     def cond(st):
-        tokens, cache, last, cur_len, finished = st
+        tokens, cache, last, cur_len, finished, seen = st
         return (cur_len < L) & ~jnp.all(finished)
 
     def body(st):
-        tokens, cache, last, cur_len, finished = st
-        scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p)
+        tokens, cache, last, cur_len, finished, seen = st
+        scores = _process_logits(last, tokens, cur_len, gen, bias_spec, p,
+                                 seen=seen if use_seen else None)
         scores = lp.temperature_warp(scores, gen.temperature)
         scores = lp.top_k_warp(scores, gen.top_k)
         scores = lp.top_p_warp(scores, gen.top_p)
@@ -331,13 +363,16 @@ def sample_decode(
             lambda row, t, i: lax.dynamic_update_slice(row, t[None], (i,))
         )(tokens, nxt, jnp.full((b,), cur_len))
         finished = finished | (nxt == gen.eos_id)
+        if use_seen:
+            seen = lp.update_seen(seen, nxt)
         logits, cache2 = jw.decoder_apply(
             params, nxt[:, None], enc, config, lora=lora,
             cache=cache, cache_index=cur_len,
         )
-        return (tokens, cache2, logits[:, -1], cur_len + 1, finished)
+        return (tokens, cache2, logits[:, -1], cur_len + 1, finished, seen)
 
-    init = (tokens, cache, last, jnp.asarray(p, jnp.int32), jnp.zeros((b,), bool))
+    init = (tokens, cache, last, jnp.asarray(p, jnp.int32),
+            jnp.zeros((b,), bool), seen0)
     tokens, *_ = lax.while_loop(cond, body, init)
     return tokens
 
@@ -424,6 +459,14 @@ def beam_search(
     fin_scores = jnp.full((B, K), NEG)
     fin_exists = jnp.zeros((B, K), bool)
 
+    # incremental seen-token set per beam row [B*K, V] (reordered with the
+    # self cache each step); exact vs the dense buffer rescan by construction
+    use_seen = gen.repetition_penalty != 1.0
+    V_dim = last.shape[-1]
+    seen0 = (lp.seen_from_tokens(
+        tokens.reshape(B * K, L)[:, :P], jnp.asarray(P), V_dim)
+        if use_seen else jnp.zeros((B * K, 1), bool))
+
     def is_done(fin_scores, fin_exists, alive_logp, cur_len):
         worst_fin = jnp.min(jnp.where(fin_exists, fin_scores, jnp.inf), axis=1)
         all_fin = jnp.all(fin_exists, axis=1)
@@ -436,14 +479,14 @@ def beam_search(
 
     def cond(st):
         (tokens, cache, last, cur_len, alive_logp,
-         fin_seq, fin_scores, fin_exists) = st
+         fin_seq, fin_scores, fin_exists, seen) = st
         return (cur_len < L) & ~jnp.all(
             is_done(fin_scores, fin_exists, alive_logp, cur_len)
         )
 
     def body(st):
         (tokens, cache, last, cur_len, alive_logp,
-         fin_seq, fin_scores, fin_exists) = st
+         fin_seq, fin_scores, fin_exists, seen) = st
         V = last.shape[-1]
 
         # HF beam search order: log_softmax FIRST, then the processor chain
@@ -458,7 +501,7 @@ def beam_search(
             cand_vals, cand_ids = lax.top_k(logp, C)      # [B*K, C]
             cand_vals = _process_logits_subset(
                 cand_vals, cand_ids, tokens.reshape(B * K, L), cur_len,
-                gen, P)
+                gen, P, seen=seen if use_seen else None)
             total = alive_logp.reshape(B * K, 1) + cand_vals
             flat = total.reshape(B, K * C)
             top_vals, top_idx = lax.top_k(flat, 2 * K)    # [B, 2K]
@@ -468,7 +511,8 @@ def beam_search(
             ).astype(jnp.int32)
         else:
             logp = _process_logits(
-                logp, tokens.reshape(B * K, L), cur_len, gen, bias_spec, P
+                logp, tokens.reshape(B * K, L), cur_len, gen, bias_spec, P,
+                seen=seen if use_seen else None,
             ).reshape(B, K, V)
             total = alive_logp[..., None] + logp  # [B, K, V]
 
@@ -512,6 +556,11 @@ def beam_search(
             in_axes=(0, 0),
         )(tokens, new_tok)
 
+        if use_seen:
+            flat = (new_beam + jnp.arange(B)[:, None] * K).reshape(-1)
+            seen = lp.update_seen(jnp.take(seen, flat, axis=0),
+                                  new_tok.reshape(-1))
+
         cache = dict(cache)
         cache["self"] = _gather_beams(cache["self"], new_beam, B, K)
         logits, cache = jw.decoder_apply(
@@ -519,12 +568,12 @@ def beam_search(
             cache=cache, cache_index=cur_len,
         )
         return (tokens, cache, logits[:, -1], cur_len + 1, alive_logp,
-                fin_seq, fin_scores, fin_exists)
+                fin_seq, fin_scores, fin_exists, seen)
 
     init = (tokens, cache, last, jnp.asarray(P, jnp.int32), alive_logp,
-            fin_seq, fin_scores, fin_exists)
+            fin_seq, fin_scores, fin_exists, seen0)
     (tokens, cache, last, cur_len, alive_logp,
-     fin_seq, fin_scores, fin_exists) = lax.while_loop(cond, body, init)
+     fin_seq, fin_scores, fin_exists, _seen) = lax.while_loop(cond, body, init)
 
     # fold still-alive beams in as hypotheses of length L (no eos reached)
     alive_scores = alive_logp / (cur_len.astype(jnp.float32) ** gen.length_penalty)

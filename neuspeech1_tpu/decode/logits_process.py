@@ -69,6 +69,33 @@ def repetition_penalty(logits, tokens, cur_len, penalty: float):
     return jnp.where(seen, penalized, logits)
 
 
+def seen_from_tokens(tokens, cur_len, vocab: int):
+    """Dense seen-token set [B, V] from a buffer prefix (positions <
+    cur_len). Used once at loop start; the decode loops then maintain it
+    incrementally via `update_seen` (O(V)/step instead of the O(L*V)
+    buffer rescan `repetition_penalty` does)."""
+    valid = jnp.arange(tokens.shape[-1])[None, :] < cur_len
+    onehot = jax.nn.one_hot(tokens, vocab, dtype=jnp.bool_)
+    return jnp.any(onehot & valid[..., None], axis=1)
+
+
+def update_seen(seen, new_tokens):
+    """seen [B, V] |= onehot(new_tokens [B]) — exact incremental step:
+    the appended token is precisely what the next iteration's buffer
+    rescan would newly pick up."""
+    v = seen.shape[-1]
+    return seen | (jnp.arange(v, dtype=new_tokens.dtype)[None, :]
+                   == new_tokens[:, None])
+
+
+def repetition_penalty_from_seen(logits, seen, penalty: float):
+    """`repetition_penalty` with the seen set precomputed ([B, V] bool)."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
 def no_repeat_ngram(logits, tokens, cur_len, n: int):
     """Ban tokens completing an n-gram already present in the buffer
     (HF NoRepeatNGramLogitsProcessor).

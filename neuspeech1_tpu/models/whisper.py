@@ -411,6 +411,10 @@ def mha(
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
+def _mlp_tail(h, p2, lora2):
+    return linear(jax.nn.gelu(h, approximate=False), p2, lora2)
+
+
 def mlp(x, p: Params, lora: Optional[Params] = None):
     from jax.ad_checkpoint import checkpoint_name
 
@@ -419,6 +423,16 @@ def mlp(x, p: Params, lora: Optional[Params] = None):
     # under remat: from it, gelu and both dW matmuls are recomputable with
     # cheap VPU work only (see _remat_policy 'flash_mlp')
     h = checkpoint_name(linear(x, p["fc1"], lora.get("fc1")), "mlp_h")
+    if _os.environ.get("NEUSPEECH_MLP_TAIL_REMAT", "0") == "1":
+        # Recompute gelu(h) in the backward pass instead of saving it:
+        # autodiff otherwise keeps BOTH h (for gelu') and gelu(h) (for dW2),
+        # making the fc1 fusion write two [B,T,4d] tensors back to HBM.
+        # With the tail checkpointed, fwd's gelu has a single consumer (the
+        # fc2 dot) so XLA fuses it into the dot's operand, and bwd re-derives
+        # it from h with VPU-only work.
+        tail = jax.checkpoint(
+            _mlp_tail, policy=jax.checkpoint_policies.nothing_saveable)
+        return tail(h, p["fc2"], lora.get("fc2"))
     h = jax.nn.gelu(h, approximate=False)
     return linear(h, p["fc2"], lora.get("fc2"))
 

@@ -33,7 +33,8 @@ def measure(tag, config, batch_size=BS, steps=10, **step_kw):
     state, frozen = ts.init_train_state(
         jax.random.key(2), params, lora, tx, opt.default_trainable_pred()
     )
-    step = ts.make_train_step(config, stem, tx, fold_lora=True, **step_kw)
+    step_kw.setdefault("fold_lora", True)
+    step = ts.make_train_step(config, stem, tx, **step_kw)
     rng = np.random.default_rng(0)
     batch = {
         "input_features": jnp.asarray(
@@ -94,6 +95,7 @@ VARIANTS = {
     "everything_unfold": (lambda: WhisperConfig(
         remat=True, remat_policy="everything"), lambda: _conv("unfold")),
     "noremat": (lambda: WhisperConfig(remat=False), None),
+    "noremat_nofold": (lambda: WhisperConfig(remat=False), None),
     "flash_mlp": (lambda: WhisperConfig(remat=True, remat_policy="flash_mlp"),
                   None),
     "flash_qkv2": (lambda: WhisperConfig(remat=True, remat_policy="flash_qkv"),
@@ -109,7 +111,8 @@ if __name__ == "__main__":
         _conv("conv")
         if setup:
             setup()
-        measure(name, cfg_fn())
+        kw = {"fold_lora": False} if name.endswith("_nofold") else {}
+        measure(name, cfg_fn(), **kw)
 
 # usage: python perf/sweep.py ch8   (stem-cost ablation: conv_a flops ∝ channels)
 def measure_ch8():
