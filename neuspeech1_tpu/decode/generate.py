@@ -390,14 +390,14 @@ def teacher_forcing_predict(params, features, decoder_input_ids, config, stem,
 # ======================================================================
 
 def _gather_beams(tree, beam_idx, batch: int, k: int):
-    """Reorder a [..., B*K, ...] cache pytree by per-batch beam indices
-    beam_idx [B, K] (values in [0, K))."""
+    """Reorder a cache pytree with per-layer [B*K, ...] leaves by per-batch
+    beam indices beam_idx [B, K] (values in [0, K))."""
     flat = beam_idx + (jnp.arange(batch) * k)[:, None]  # [B, K] absolute
     flat = flat.reshape(-1)
 
     def g(x):
-        # leaves: [Ldepth, B*K, ...] (cache) — gather along axis 1
-        return jnp.take(x, flat, axis=1)
+        # leaves: per-layer [B*K, ...] — gather along the row axis
+        return jnp.take(x, flat, axis=0)
 
     return jax.tree_util.tree_map(g, tree)
 

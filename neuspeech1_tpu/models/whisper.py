@@ -693,7 +693,7 @@ def decoder_apply(
         pos = lax.dynamic_slice(
             dec["pos_embed"], (cache_index, 0), (t, dec["pos_embed"].shape[1])
         ).astype(dtype)[None]
-        t_max = cache["self"]["k"].shape[2]  # [L, B, Tmax, H, Dh]
+        t_max = cache["self"][0]["k"].shape[1]  # per-layer [B, Tmax, H, Dh]
         positions = jnp.arange(t_max)[None, None, None, :]
         self_mask = positions <= (cache_index + jnp.arange(t)[:, None]).reshape(1, 1, t, 1)
     h = h + pos
@@ -729,41 +729,29 @@ def decoder_apply(
             h, _ = lax.scan(body, h, (dec["layers"], dec_lora), unroll=_scan_unroll(config))
         new_cache = None
     else:
-        def body(carry, xs):
-            if dec_lora is None:
-                layer_p, self_c, cross_c = xs
-                layer_l = None
-            else:
-                layer_p, layer_l, self_c, cross_c = xs
-            out, (new_self, new_cross) = _decoder_layer(
-                carry, layer_p, enc_out, self_mask, config.decoder_heads,
-                lora=layer_l, self_cache=self_c, cross_cache=cross_c,
-                cache_index=cache_index,
+        # Per-layer cache leaves + a Python loop over layers: the earlier
+        # stacked [L, ...] cache under a (even fully unrolled) lax.scan
+        # still paid per-token dynamic-slice/DUS-restack plumbing on every
+        # cache buffer — the round-3 beam device trace attributed ~15.5
+        # ms/batch (bs32) to those slice/copy fusions alone. With one
+        # buffer per layer, XLA aliases each K/V in place and the beam
+        # reorder gathers each buffer directly.
+        n_layers = len(cache["self"])
+        new_self, new_cross = [], []
+        for i in range(n_layers):
+            layer_p = jax.tree_util.tree_map(lambda x: x[i], dec["layers"])
+            layer_l = (None if dec_lora is None else
+                       jax.tree_util.tree_map(lambda x: x[i], dec_lora))
+            h, (ns, nc) = _decoder_layer(
+                h, layer_p, enc_out, self_mask, config.decoder_heads,
+                lora=layer_l, self_cache=cache["self"][i],
+                cross_cache=cache["cross"][i], cache_index=cache_index,
                 # static true cross length (BTC caches are row-padded)
                 cross_kv_len=enc_out.shape[1],
             )
-            return out, (new_self, new_cross)
-
-        xs = (
-            (dec["layers"], cache["self"], cache["cross"])
-            if dec_lora is None
-            else (dec["layers"], dec_lora, cache["self"], cache["cross"])
-        )
-        # Unroll the cache-path layer scan on TPU (default; measured −0.16
-        # ms/token at whisper-base bs64 int8: XLA addresses per-layer cache
-        # buffers directly instead of slicing/stacking the [L, ...] arrays
-        # every token — tiny-M decode steps are op-overhead-bound). CPU
-        # keeps the rolled scan for compile speed; NEUSPEECH_DECODE_UNROLL
-        # overrides ('1'/'0').
-        env = _os.environ.get("NEUSPEECH_DECODE_UNROLL")
-        if env is not None:
-            unroll = True if env == "1" else 1
-        else:
-            from neuspeech1_tpu.ops.flash_attention import on_tpu
-
-            unroll = True if on_tpu() else 1
-        h, (new_self, new_cross) = lax.scan(body, h, xs, unroll=unroll)
-        new_cache = {"self": new_self, "cross": new_cross}
+            new_self.append(ns)
+            new_cross.append(nc)
+        new_cache = {"self": tuple(new_self), "cross": tuple(new_cross)}
 
     h = layer_norm(h, dec["ln"])
     logits = jnp.dot(h, embed.T.astype(dtype))
@@ -810,11 +798,16 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
                int8_cross: bool = False, self_batch: Optional[int] = None):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
-    self k/v: [L, B, max_len, H, Dh] (BTHD — rows written incrementally);
-    cross k/v: layout per `_decode_cross_layout` — 'btc' [L, B, Tpad, H·Dh]
-    (kernel-native, zero-padded rows masked via the static kv_len) or
-    'bhtd' [L, B, H, T_src, Dh] (transposed ONCE here so the per-token
-    full-cache XLA reads stream contiguously; see `mha`).
+    Cache leaves are PER LAYER (tuples of per-layer dicts, no stacked [L]
+    dim): each buffer aliases in place across decode steps and the beam
+    reorder gathers it directly — the stacked layout cost per-token
+    slice/restack plumbing (see decoder_apply).
+
+    self k/v: per-layer [B, max_len, H, Dh] (BTHD — rows written
+    incrementally); cross k/v: layout per `_decode_cross_layout` — 'btc'
+    [B, Tpad, H·Dh] (kernel-native, zero-padded rows masked via the static
+    kv_len) or 'bhtd' [B, H, T_src, Dh] (transposed ONCE here so the
+    per-token full-cache XLA reads stream contiguously; see `mha`).
 
     ``int8_cross``: store the cross K/V int8 with per-(b,h,channel) scales —
     incremental decode re-reads the WHOLE cross cache every token, so
@@ -853,11 +846,15 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
             return {"k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s}
         return {"k": k, "v": v}
 
-    cross = jax.vmap(per_layer_cross)(dec["layers"])
+    cross = tuple(
+        per_layer_cross(jax.tree_util.tree_map(lambda x: x[i], dec["layers"]))
+        for i in range(L)
+    )
     # the true (pre-pad) kv length is re-derived statically from
     # enc_out.shape[1] inside decoder_apply — no dynamic state in the cache
-    zeros = jnp.zeros((L, self_batch or b, max_len, h, dh), dtype)
-    return {"self": {"k": zeros, "v": zeros}, "cross": cross}
+    zeros = jnp.zeros((self_batch or b, max_len, h, dh), dtype)
+    return {"self": tuple({"k": zeros, "v": zeros} for _ in range(L)),
+            "cross": cross}
 
 
 # --------------------------------------------------------------------------
