@@ -96,6 +96,8 @@ def main():
     ap.add_argument("--remat", default="false")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tracedir", default="/tmp/trace_step")
+    ap.add_argument("--dump-hlo", default="",
+                    help="write compiled HLO text here (fusion->source map)")
     args = ap.parse_args()
     remat = args.remat.lower() in ("1", "true", "yes")
 
@@ -117,6 +119,14 @@ def main():
         "decoder_input_ids": jnp.asarray(
             rng.integers(0, 50000, (64, 64)).astype(np.int32)),
     }
+    if args.dump_hlo:
+        # lower the ALREADY-jitted fn directly (wrapping in another jit can
+        # push the remote-compile request over its HTTP limit — CLAUDE.md)
+        txt = step.lower(state, frozen, batch).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"wrote HLO ({len(txt)} bytes) to {args.dump_hlo}")
+
     for _ in range(3):  # warmup/compile
         state, m = step(state, frozen, batch)
     float(jax.device_get(m["loss"]))
