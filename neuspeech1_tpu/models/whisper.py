@@ -32,6 +32,7 @@ from jax import lax
 
 from neuspeech1_tpu.config import StemConfig, WhisperConfig
 from neuspeech1_tpu.models.lora import lora_delta
+from neuspeech1_tpu.ops.gelu import gelu as gelu_exact
 
 Params = Dict[str, Any]
 
@@ -412,7 +413,7 @@ def mha(
 
 
 def _mlp_tail(h, p2, lora2):
-    return linear(jax.nn.gelu(h, approximate=False), p2, lora2)
+    return linear(gelu_exact(h), p2, lora2)
 
 
 def mlp(x, p: Params, lora: Optional[Params] = None):
@@ -433,7 +434,7 @@ def mlp(x, p: Params, lora: Optional[Params] = None):
         tail = jax.checkpoint(
             _mlp_tail, policy=jax.checkpoint_policies.nothing_saveable)
         return tail(h, p["fc2"], lora.get("fc2"))
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu_exact(h)
     return linear(h, p["fc2"], lora.get("fc2"))
 
 
@@ -458,13 +459,13 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
     x = features.transpose(0, 2, 1)  # [B, T, ch]
     sp = params["stem"]
     if stem.kind == "speech":
-        h = jax.nn.gelu(conv1d_cl(x, sp["conv1"], stride=1), approximate=False)
+        h = gelu_exact(conv1d_cl(x, sp["conv1"], stride=1))
     elif stem.kind == "base":
-        h = jax.nn.gelu(conv1d_cl(x, sp["conv_a"], stride=1), approximate=False)
+        h = gelu_exact(conv1d_cl(x, sp["conv_a"], stride=1))
         h = conv1d_cl(h, sp["conv_b"], stride=2)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu_exact(h)
     elif stem.kind == "replace":
-        h = jax.nn.gelu(conv1d_cl(x, sp["conv"], stride=2), approximate=False)
+        h = gelu_exact(conv1d_cl(x, sp["conv"], stride=2))
     elif stem.kind == "premel":
         # pre_conv1: ch -> num_mel_bins at stride 2, then whisper's own conv1
         h = conv1d_cl(x, sp["pre_conv"], stride=2, padding=2)
@@ -476,10 +477,10 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
                 dropout_rng, keep, (h.shape[0], 1, h.shape[2])
             )
             h = jnp.where(mask, h / keep, 0.0)
-        h = jax.nn.gelu(conv1d_cl(h, sp["conv1"], stride=1), approximate=False)
+        h = gelu_exact(conv1d_cl(h, sp["conv1"], stride=1))
     else:
         raise ValueError(stem.kind)
-    h = jax.nn.gelu(conv1d_cl(h, params["conv2"], stride=2), approximate=False)
+    h = gelu_exact(conv1d_cl(h, params["conv2"], stride=2))
     return h  # [B, T', d]
 
 
