@@ -54,6 +54,128 @@ def lora_delta(x, entry: Params):
     return jnp.dot(h, b) * scale
 
 
+# ----------------------------------------------------------------------
+# Folded linear with low-rank-only backward (training hot path)
+# ----------------------------------------------------------------------
+
+def _w_eff_of(w, entry: Params):
+    """W + s*A(Em)B for one LAYER-SLICED entry (A [din,r], B [r,dout],
+    E [r,1], alpha [1,1]) — same math/dtype staging as `merge_lora`
+    (delta in f32, added to the f32 master weight)."""
+    a = entry["A"]
+    if "E" in entry:
+        a = a * entry["E"][..., 0][None, :]
+    scale = jax.lax.stop_gradient(entry["alpha"]).reshape(()) / a.shape[-1]
+    return w + (a @ entry["B"]) * scale
+
+
+@jax.custom_vjp
+def folded_linear(x, p: Params, entry: Params):
+    """x @ (W + s*A(Em)B) + bias with a LOW-RANK-ONLY backward.
+
+    FROZEN-BASE CONTRACT: the base weight/bias cotangents are returned as
+    zeros — callers must guarantee W and bias are in the frozen partition
+    (exactly the reference's fold_lora training regime: LoRA/AdaLoRA
+    adapters + stem trainable, base frozen; `finetune.py:176-177,205-212`).
+    `make_loss_fn(fold_lora=True)` is the only caller.
+
+    Why: autodiff through a pre-merged W_eff materializes full-rank dW_eff
+    for every adapted matrix — 3.7 TFLOP/step + a 21.9 ms/step stacked
+    f32 gradient assembly at whisper-base bs64 (round-3 device trace),
+    even though only dA/dB/dE (rank-32) are consumed. This backward
+    computes them directly with narrow dots:
+        t1 = dy B^T [N,r]; u = x A [N,r]
+        dA = s * (x^T t1) * (Em);  dB = s * (u*Em)^T dy
+        dE = s * rowsum(u * t1)
+    """
+    w_eff = _w_eff_of(p["w"], entry).astype(x.dtype)
+    y = jnp.dot(x, w_eff)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _folded_linear_fwd(x, p, entry):
+    w_eff = _w_eff_of(p["w"], entry).astype(x.dtype)
+    y = jnp.dot(x, w_eff)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y, (x, w_eff, p, entry)
+
+
+def _folded_linear_bwd(res, dy):
+    x, w_eff, p, entry = res
+    a = entry["A"]
+    b = entry["B"]
+    r = a.shape[-1]
+    din = x.shape[-1]
+    dout = dy.shape[-1]
+    n_tokens = 1
+    for s in x.shape[:-1]:
+        n_tokens *= s
+    scale32 = (jax.lax.stop_gradient(entry["alpha"]).reshape(())
+               / r).astype(jnp.float32)
+
+    from neuspeech1_tpu.ops import lora_bwd as _lb
+
+    block_n = (_lb.pick_block_n(n_tokens, din, dout, r)
+               if _lb.on_tpu() else None)
+    if block_n is not None:
+        # fused one-pass kernel: all four narrow adapter products from ONE
+        # streaming pass over (x, dy) (ops/lora_bwd.py). dx stays an XLA
+        # dot: measured in-kernel dx = 228 ms/step vs 207 (the kernel's
+        # per-block matmul loses the deep pipelining + consumer fusion of
+        # XLA's dx dot, and its VMEM footprint shrinks the token blocks).
+        dy2 = dy.reshape(n_tokens, dout)
+        da32, db_raw, de_raw = _lb.lora_adapter_bwd(
+            x.reshape(n_tokens, din), dy2,
+            a.astype(x.dtype), b.astype(dy.dtype), block_n=block_n)
+        da32 = da32 * scale32
+        de32 = de_raw * scale32
+        # flat dx dot so dy's two consumers (kernel + this dot) agree on
+        # the flat {1,0} layout. Layout note (round-3 traces): XLA prefers
+        # {2,0,1} (T-outer) operands for these dots and hides the
+        # transposes inside fusions; a pallas operand pins {2,1,0} and
+        # turns them into ~9 ms/step of standalone copies — measured
+        # equal whether dx is flat, 3D-einsum, or in-kernel (207 / 207.2 /
+        # 228 ms/step vs 205.6 for NEUSPEECH_FOLD_IMPL=merge).
+        dx = jnp.dot(dy2, w_eff.T).reshape(x.shape).astype(x.dtype)
+    else:
+        dx = jnp.einsum("...o,do->...d", dy, w_eff).astype(x.dtype)
+        lead = tuple(range(x.ndim - 1))  # contracted batch/time dims
+        t1 = jnp.einsum("...o,ro->...r", dy, b.astype(dy.dtype))  # [..., r]
+        u = jnp.einsum("...d,dr->...r", x, a.astype(x.dtype))     # [..., r]
+        da32 = jax.lax.dot_general(
+            x, t1, (((lead), (lead)), ((), ())),
+            preferred_element_type=jnp.float32) * scale32         # [din, r]
+        db_raw = jax.lax.dot_general(
+            u, dy, (((lead), (lead)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [r, dout]
+        de32 = jnp.einsum("...r,...r->r", u, t1,
+                          preferred_element_type=jnp.float32) * scale32
+    # cotangents must mirror the input pytrees exactly: start from zeros
+    # (hyper-parameter leaves like alpha/mask keep exact-zero grads — PEFT
+    # never trains them) and fill in the low-rank grads
+    zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+    d_entry = zeros(entry)
+    if "E" in entry:
+        ge = entry["E"][..., 0]                        # [r] f32
+        d_entry["E"] = de32[:, None].astype(entry["E"].dtype)
+        da32 = da32 * ge[None, :].astype(jnp.float32)
+        db32 = ge[:, None].astype(jnp.float32) * db_raw * scale32
+    else:
+        db32 = db_raw * scale32
+    d_entry["A"] = da32.astype(entry["A"].dtype)
+    d_entry["B"] = db32.astype(entry["B"].dtype)
+    # frozen-base contract: zero cotangents (DCE'd — base is never trained
+    # under fold; see the docstring)
+    d_p = zeros(p)
+    return dx, d_p, d_entry
+
+
+folded_linear.defvjp(_folded_linear_fwd, _folded_linear_bwd)
+
+
 def _entry_shapes(d_model: int, ffn: int, name: str) -> Tuple[int, int]:
     if name in ("q", "k", "v", "out"):
         return d_model, d_model

@@ -59,8 +59,32 @@ def resolve_flash(config: WhisperConfig, t_kv: int) -> bool:
 # primitives
 # --------------------------------------------------------------------------
 
+import contextlib
+
+# Trace-time mode for the fold_lora training path: adapted linears run ONE
+# dot against W_eff = W + s*A(Em)B with a LOW-RANK-ONLY backward
+# (models/lora.py::folded_linear) instead of per-token low-rank deltas.
+# Entered by train.trainstep.make_loss_fn(fold_lora=True) around tracing —
+# it carries the frozen-base contract (see folded_linear's docstring).
+_FOLD_AT_LINEAR = [False]
+
+
+@contextlib.contextmanager
+def fold_at_linear():
+    prev = _FOLD_AT_LINEAR[0]
+    _FOLD_AT_LINEAR[0] = True
+    try:
+        yield
+    finally:
+        _FOLD_AT_LINEAR[0] = prev
+
+
 def linear(x, p: Params, lora: Optional[Params] = None):
     """x @ w + b, with optional low-rank delta from a parallel LoRA tree."""
+    if lora is not None and _FOLD_AT_LINEAR[0]:
+        from neuspeech1_tpu.models.lora import folded_linear
+
+        return folded_linear(x, p, lora)
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p and p["b"] is not None:
         y = y + p["b"].astype(x.dtype)

@@ -80,7 +80,21 @@ def make_loss_fn(
     """With ``fold_lora`` the adapter deltas are materialized into the
     weights ONCE per step (differentiable W_eff = W + s·A(Λm)B) instead of
     running per-token low-rank matmuls in every adapted linear — fewer,
-    larger MXU ops at the cost of per-matrix dW_eff gradients."""
+    larger MXU ops at the cost of per-matrix dW_eff gradients.
+
+    NEUSPEECH_FOLD_IMPL='linear' selects the alternative: each ADAPTED
+    linear runs one dot against a call-site W_eff with a LOW-RANK-ONLY
+    custom backward (`models/lora.py::folded_linear` + the fused Pallas
+    pass in `ops/lora_bwd.py`). Measured at whisper-base bs64 (round-3):
+    the kernel computes the adapter grads in 14.7 ms/step vs 21.9 for the
+    stacked dW_eff assembly, but pinning the activations to the kernel's
+    flat layout re-inserts ~9 ms/step of XLA layout copies at the
+    surrounding dots — net 207.0 vs 205.6 ms/step, so 'merge' stays the
+    default. Requires the base weights frozen (exactly the reference's
+    adapter regime) under either impl."""
+    import os as _os
+
+    fold_impl = _os.environ.get("NEUSPEECH_FOLD_IMPL", "merge")
 
     def loss_fn(trainable, frozen, batch, dropout_rng):
         combined = combine_params(trainable, frozen)
@@ -88,24 +102,31 @@ def make_loss_fn(
         lora = combined.get("lora") or None
         if lora is not None and not jax.tree_util.tree_leaves(lora):
             lora = None
+        reg_lora = lora
+        fold_ctx = None
         if fold_lora and lora is not None:
-            from neuspeech1_tpu.models.lora import merge_lora
+            if fold_impl == "merge":
+                from neuspeech1_tpu.models.lora import merge_lora
 
-            params = merge_lora(params, lora)
-            lora = None
-        logits = jw.forward(
-            params,
-            batch["input_features"],
-            batch["decoder_input_ids"],
-            config,
-            stem,
-            lora=lora,
-            deterministic=dropout_rng is None,
-            dropout_rng=dropout_rng,
-        )
+                params = merge_lora(params, lora)
+                lora = None
+            else:
+                fold_ctx = jw.fold_at_linear
+        import contextlib
+
+        with (fold_ctx() if fold_ctx else contextlib.nullcontext()):
+            logits = jw.forward(
+                params,
+                batch["input_features"],
+                batch["decoder_input_ids"],
+                config,
+                stem,
+                lora=lora,
+                deterministic=dropout_rng is None,
+                dropout_rng=dropout_rng,
+            )
         loss = jw.ce_loss(logits, batch["labels"])
         aux = {"ce_loss": loss}
-        reg_lora = (combined.get("lora") or None) if fold_lora else lora
         if reg_lora is not None and not jax.tree_util.tree_leaves(reg_lora):
             reg_lora = None
         if orth_reg_weight > 0.0 and reg_lora is not None:
