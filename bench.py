@@ -172,9 +172,10 @@ def main():
         model_params, lora_tree = ts.model_params_of(state, frozen)
         feats = batch["input_features"]
 
-        def timed_decode(max_new):
+        def timed_decode(max_new, int8):
             gen = GenerationConfig.for_model(
-                config, max_length=prompt.shape[1] + max_new)
+                config, max_length=prompt.shape[1] + max_new,
+                int8_kv_cache=int8)
             out = greedy_decode(model_params, feats, prompt, config, stem,
                                 gen, lora=lora_tree)
             np.asarray(out)  # warmup/compile + sync
@@ -189,7 +190,12 @@ def main():
                 f = feats * (1.0 + s * 1e-9)
             return sorted(times)[1]
 
-        t8, t48 = timed_decode(8), timed_decode(48)
+        # headline = the int8-KV serving configuration (Transcriber's
+        # int8_kv_cache flag; tested e2e vs fp in tests/test_decode.py);
+        # the fp rate is reported alongside for parity comparisons
+        t8, t48 = timed_decode(8, True), timed_decode(48, True)
+        t8f, t48f = timed_decode(8, False), timed_decode(48, False)
+        decode_fp_tps = batch_size * 40 / max(t48f - t8f, 1e-9)
         decode_tps = batch_size * 40 / max(t48 - t8, 1e-9)
         decode_e2e_tps = batch_size * 48 / t48
     except Exception:
@@ -208,6 +214,7 @@ def main():
     if decode_tps is not None:
         result["decode_tokens_per_sec"] = round(decode_tps, 1)
         result["decode_e2e_tokens_per_sec"] = round(decode_e2e_tps, 1)
+        result["decode_fp_tokens_per_sec"] = round(decode_fp_tps, 1)
     print(json.dumps(result))
 
 

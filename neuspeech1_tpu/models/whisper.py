@@ -379,25 +379,28 @@ def mha(
                                            jnp.finfo(jnp.float32).min)
                     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
                     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-            elif "k_q" in cache:
+            elif "k_qt" in cache:
                 # int8 cross cache: the big int8 arrays feed the dots raw
                 # (half the HBM bytes of decode's dominant stream); the
                 # per-(b,h,channel) scales fold into the TINY operands —
                 # q for scores (q_d·k_d·s_d = (q_d·s_d)·k_d), the output
                 # for PV (scale is per output channel)
-                k_q, k_s = cache["k_q"], cache["k_s"]
-                v_q, v_s = cache["v_q"], cache["v_s"]
+                k_q, k_s = cache["k_qt"], cache["k_s"]
+                v_q, v_s = cache["v_qt"], cache["v_s"]
                 dh = q.shape[-1]
-                # k_s/v_s: [B, H, 1, Dh] -> broadcast against BTHD q / out
+                # k_qt/v_qt: int8 [B, H, Dh, T] — T on the lane axis (see
+                # init_cache); k_s/v_s: [B, H, 1, Dh] scales fold into the
+                # TINY operands (q for scores, the output for PV) so the
+                # dots stream the int8 arrays raw
                 qs = q * k_s[:, :, 0, :].astype(q.dtype)[:, None]
                 scores = jnp.einsum(
-                    "bqhd,bhkd->bhqk", qs, k_q.astype(q.dtype)
+                    "bqhd,bhdk->bhqk", qs, k_q.astype(q.dtype)
                 ).astype(jnp.float32) * (dh ** -0.5)
                 if mask is not None:
                     scores = jnp.where(mask, scores,
                                        jnp.finfo(jnp.float32).min)
                 probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-                out = jnp.einsum("bhqk,bhkd->bqhd", probs,
+                out = jnp.einsum("bhqk,bhdk->bqhd", probs,
                                  v_q.astype(q.dtype))
                 out = out * v_s[:, :, 0, :].astype(q.dtype)[:, None]
             else:
@@ -866,9 +869,18 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
         k = _split_heads(kc, h).transpose(0, 2, 1, 3)
         v = _split_heads(vc, h).transpose(0, 2, 1, 3)
         if int8_cross:
+            # int8 values stored TRANSPOSED [B, H, Dh, T] so the decode
+            # multiply+reduce fusions carry T on the 128-lane axis (full
+            # width; T=1500 -> 12 lane tiles). The BHTD orientation put
+            # Dh=64 on lanes — half the VPU idle — and measured the int8
+            # stream at ~440 GB/s vs ~880 for bf16 (round-3 steady-state
+            # decode trace: cross 2.0 ms/token of a 4.4 ms busy loop).
+            # Scales stay per-(b,h,channel) [B, H, 1, Dh] (quantize over
+            # the T axis); the transpose is a one-time setup op.
             k_q, k_s = _quantize_kv_int8(k)
             v_q, v_s = _quantize_kv_int8(v)
-            return {"k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s}
+            return {"k_qt": k_q.transpose(0, 1, 3, 2), "k_s": k_s,
+                    "v_qt": v_q.transpose(0, 1, 3, 2), "v_s": v_s}
         return {"k": k, "v": v}
 
     cross = tuple(

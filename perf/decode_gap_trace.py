@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--tracedir", default="/tmp/decode_gap_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--tail-frac", type=float, default=0.0,
+                    help="analyze only the trailing fraction of the span "
+                         "(steady-state loop; excludes encoder/prefill/"
+                         "cache-quantization setup)")
     args = ap.parse_args()
 
     config = WhisperConfig(remat=False)
@@ -83,6 +87,12 @@ def main():
          and not CONTAINERS.match(e.get("name", ""))),
         key=lambda e: e["ts"])
     n = args.new
+    if args.tail_frac:
+        lo = X[0]["ts"]
+        hi = max(e["ts"] + e["dur"] for e in X)
+        cut = hi - (hi - lo) * args.tail_frac
+        X = [e for e in X if e["ts"] >= cut]
+        n = args.new * args.tail_frac  # tokens decoded in the window
     gap_by_op = collections.Counter()
     dur_by_op = collections.Counter()
     cur_end = None
