@@ -89,15 +89,26 @@ def folded_linear(x, p: Params, entry: Params):
         dE = s * rowsum(u * t1)
     """
     w_eff = _w_eff_of(p["w"], entry).astype(x.dtype)
-    y = jnp.dot(x, w_eff)
+    y = _flat_dot(x, w_eff)
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y
 
 
+def _flat_dot(x, w):
+    """x @ w through a flat [N, din] view — keeps every producer/consumer
+    of the folded path on the flat {1,0} layout the backward kernel pins
+    (mixed 3D/flat forms made XLA materialize {2,0,1}<->{2,1,0} copies)."""
+    din = x.shape[-1]
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    return jnp.dot(x.reshape(n, din), w).reshape(*x.shape[:-1], w.shape[-1])
+
+
 def _folded_linear_fwd(x, p, entry):
     w_eff = _w_eff_of(p["w"], entry).astype(x.dtype)
-    y = jnp.dot(x, w_eff)
+    y = _flat_dot(x, w_eff)
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y, (x, w_eff, p, entry)
@@ -241,6 +252,27 @@ def init_lora(
             dest[name] = entry
         tree[part] = {"layers": layers}
     return tree
+
+
+def split_lora_fc(lora: Params) -> Tuple[Params, Params]:
+    """Partition the adapter tree into (attention entries, fc entries),
+    preserving structure — the hybrid NEUSPEECH_FOLD_IMPL=fc train path
+    merges the former and runs the latter through `folded_linear`."""
+    def walk(t):
+        m: Params = {}
+        f: Params = {}
+        for k, v in t.items():
+            if isinstance(v, dict) and "A" in v:
+                (f if k in ("fc1", "fc2") else m)[k] = v
+            elif isinstance(v, dict):
+                sm, sf = walk(v)
+                if sm:
+                    m[k] = sm
+                if sf:
+                    f[k] = sf
+        return m, f
+
+    return walk(lora)
 
 
 def merge_lora(params: Params, lora: Params) -> Params:

@@ -403,6 +403,20 @@ def mha(
                 out = jnp.einsum("bhqk,bhdk->bqhd", probs,
                                  v_q.astype(q.dtype))
                 out = out * v_s[:, :, 0, :].astype(q.dtype)[:, None]
+            elif "k_t" in cache:
+                # bf16 cross cache TRANSPOSED [B, H, Dh, T] — same
+                # full-lane-width reasoning as the int8 branch above
+                k_t, v_t = cache["k_t"], cache["v_t"]
+                dh = q.shape[-1]
+                scores = jnp.einsum(
+                    "bqhd,bhdk->bhqk", q, k_t.astype(q.dtype)
+                ).astype(jnp.float32) * (dh ** -0.5)
+                if mask is not None:
+                    scores = jnp.where(mask, scores,
+                                       jnp.finfo(jnp.float32).min)
+                probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                out = jnp.einsum("bhqk,bhdk->bqhd", probs,
+                                 v_t.astype(q.dtype))
             else:
                 k, v = cache["k"], cache["v"]
                 if mask is None and _decode_cross_ok(k):
@@ -881,7 +895,11 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
             v_q, v_s = _quantize_kv_int8(v)
             return {"k_qt": k_q.transpose(0, 1, 3, 2), "k_s": k_s,
                     "v_qt": v_q.transpose(0, 1, 3, 2), "v_s": v_s}
-        return {"k": k, "v": v}
+        if _flash_decode_on():
+            # the opt-in streaming kernel reads BHTD panes; keep its layout
+            return {"k": k, "v": v}
+        return {"k_t": k.transpose(0, 1, 3, 2),
+                "v_t": v.transpose(0, 1, 3, 2)}
 
     cross = tuple(
         per_layer_cross(jax.tree_util.tree_map(lambda x: x[i], dec["layers"]))

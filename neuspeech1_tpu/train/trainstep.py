@@ -82,19 +82,24 @@ def make_loss_fn(
     running per-token low-rank matmuls in every adapted linear — fewer,
     larger MXU ops at the cost of per-matrix dW_eff gradients.
 
-    NEUSPEECH_FOLD_IMPL='linear' selects the alternative: each ADAPTED
-    linear runs one dot against a call-site W_eff with a LOW-RANK-ONLY
-    custom backward (`models/lora.py::folded_linear` + the fused Pallas
-    pass in `ops/lora_bwd.py`). Measured at whisper-base bs64 (round-3):
-    the kernel computes the adapter grads in 14.7 ms/step vs 21.9 for the
-    stacked dW_eff assembly, but pinning the activations to the kernel's
-    flat layout re-inserts ~9 ms/step of XLA layout copies at the
-    surrounding dots — net 207.0 vs 205.6 ms/step, so 'merge' stays the
-    default. Requires the base weights frozen (exactly the reference's
-    adapter regime) under either impl."""
+    NEUSPEECH_FOLD_IMPL picks how (all regimes are gradient-identical,
+    pinned by tests/test_folded_linear.py; base weights must be frozen —
+    exactly the reference's adapter regime):
+      'fc' (default): attention adapters merged, fc adapters through
+        `models/lora.py::folded_linear` — a custom VJP whose backward gets
+        dA/dB/dE from ONE streaming pass over (x, dy) on the MXU
+        (`ops/lora_bwd.py`) instead of autodiff's full-rank dW_eff. The fc
+        dW_eff was the expensive 2048-wide 14.6 ms/step of stacked-grad
+        assembly at whisper-base bs64; the kernel does those grads in
+        8.0 ms and the hybrid measures 202.4 vs 205.6 ms/step all-merge.
+      'merge': round-2 behavior, every adapter pre-merged (autodiff builds
+        all dW_eff).
+      'linear': every adapted linear folded — measured 207.0 (the qkvo
+        dW_eff is small and near MXU peak, while pinning those activations
+        to the kernel's flat layout costs ~9 ms of XLA layout copies)."""
     import os as _os
 
-    fold_impl = _os.environ.get("NEUSPEECH_FOLD_IMPL", "merge")
+    fold_impl = _os.environ.get("NEUSPEECH_FOLD_IMPL", "fc")
 
     def loss_fn(trainable, frozen, batch, dropout_rng):
         combined = combine_params(trainable, frozen)
@@ -110,6 +115,20 @@ def make_loss_fn(
 
                 params = merge_lora(params, lora)
                 lora = None
+            elif fold_impl == "fc":
+                # hybrid: attention adapters merged (their dW_eff is small
+                # and runs near MXU peak), fc adapters through the
+                # folded-linear kernel (their dW_eff is the expensive
+                # 2048-wide 14.6 ms/step of the stacked-grad assembly)
+                from neuspeech1_tpu.models.lora import (
+                    merge_lora, split_lora_fc)
+
+                merge_tree, fc_tree = split_lora_fc(lora)
+                if jax.tree_util.tree_leaves(merge_tree):
+                    params = merge_lora(params, merge_tree)
+                lora = fc_tree if jax.tree_util.tree_leaves(fc_tree) else None
+                if lora is not None:
+                    fold_ctx = jw.fold_at_linear
             else:
                 fold_ctx = jw.fold_at_linear
         import contextlib

@@ -138,13 +138,19 @@ def test_train_step_linear_fold_matches_merge_fold(adalora, monkeypatch):
         return state, m
 
     s_lin, m_lin = run("linear")
+    s_fc, m_fc = run("fc")
     s_mrg, m_mrg = run("merge")
     np.testing.assert_allclose(float(m_lin["loss"]), float(m_mrg["loss"]),
                                rtol=1e-5)
-    for (p1, l1), (p2, l2) in zip(
+    np.testing.assert_allclose(float(m_fc["loss"]), float(m_mrg["loss"]),
+                               rtol=1e-5)
+    for (p1, l1), (p2, l2), (p3, l3) in zip(
         jax.tree_util.tree_leaves_with_path(s_lin.trainable),
         jax.tree_util.tree_leaves_with_path(s_mrg.trainable),
+        jax.tree_util.tree_leaves_with_path(s_fc.trainable),
     ):
-        assert p1 == p2
+        assert p1 == p2 == p3
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=3e-5, err_msg=str(p1))
+        np.testing.assert_allclose(np.asarray(l3), np.asarray(l2),
                                    atol=3e-5, err_msg=str(p1))
