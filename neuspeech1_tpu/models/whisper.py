@@ -901,10 +901,40 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
         return {"k_t": k.transpose(0, 1, 3, 2),
                 "v_t": v.transpose(0, 1, 3, 2)}
 
-    cross = tuple(
-        per_layer_cross(jax.tree_util.tree_map(lambda x: x[i], dec["layers"]))
-        for i in range(L)
-    )
+    if layout == "btc" or _flash_decode_on():
+        cross = tuple(
+            per_layer_cross(
+                jax.tree_util.tree_map(lambda x: x[i], dec["layers"]))
+            for i in range(L)
+        )
+    else:
+        # batched all-layer K/V build: ONE einsum per projection reads
+        # enc_out once for all L layers (12 separate per-layer linears
+        # re-streamed the ~100 MB encoder output and left ~35 XLA layout
+        # copies in the setup — ~5% of a serving batch at bs32)
+        ca = dec["layers"]["cross_attn"]
+        e16 = enc_out.astype(dtype)
+        def all_layers(p):
+            # [B,T,C] x [L,C,H*Dh] -> [L,B,H,T,Dh]
+            w = p["w"].astype(dtype).reshape(L, e16.shape[-1], h, dh)
+            kv = jnp.einsum("btc,lchd->lbhtd", e16, w)
+            if p.get("b") is not None:
+                kv = kv + p["b"].astype(dtype).reshape(L, 1, h, 1, dh)
+            return kv
+        k_all = all_layers(ca["k"])
+        v_all = all_layers(ca["v"])
+        if int8_cross:
+            kq_all, ks_all = _quantize_kv_int8(k_all)
+            vq_all, vs_all = _quantize_kv_int8(v_all)
+            cross = tuple(
+                {"k_qt": kq_all[i].transpose(0, 1, 3, 2), "k_s": ks_all[i],
+                 "v_qt": vq_all[i].transpose(0, 1, 3, 2), "v_s": vs_all[i]}
+                for i in range(L))
+        else:
+            cross = tuple(
+                {"k_t": k_all[i].transpose(0, 1, 3, 2),
+                 "v_t": v_all[i].transpose(0, 1, 3, 2)}
+                for i in range(L))
     # the true (pre-pad) kv length is re-derived statically from
     # enc_out.shape[1] inside decoder_apply — no dynamic state in the cache
     zeros = jnp.zeros((self_batch or b, max_len, h, dh), dtype)
