@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--new", type=int, default=16)
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="trace beam search (reference eval config "
+                         "rp5.0/ngram2) instead of greedy")
     ap.add_argument("--tracedir", default="/tmp/decode_gap_trace")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--tail-frac", type=float, default=0.0,
@@ -58,15 +61,23 @@ def main():
           config.notimestamps_id]] * args.bs, np.int32)
     gen = GenerationConfig.for_model(
         config, max_length=prompt.shape[1] + args.new,
-        int8_kv_cache=args.int8)
+        int8_kv_cache=args.int8,
+        num_beams=args.beam or 1,
+        repetition_penalty=5.0 if args.beam else 1.0,
+        no_repeat_ngram_size=2 if args.beam else 0)
 
     os.environ["NEUSPEECH_DECODE_FIXED_TRIPS"] = "1"
-    out = greedy_decode(params, feats, prompt, config, stem, gen)
-    np.asarray(out)  # compile + settle
+    if args.beam:
+        from neuspeech1_tpu.decode.generate import beam_search as _decode
+    else:
+        _decode = greedy_decode
+    def run():
+        out = _decode(params, feats, prompt, config, stem, gen)
+        np.asarray(out[0] if isinstance(out, tuple) else out)
 
+    run()  # compile + settle
     jax.profiler.start_trace(args.tracedir)
-    out = greedy_decode(params, feats, prompt, config, stem, gen)
-    np.asarray(out)
+    run()
     jax.profiler.stop_trace()
 
     paths = glob.glob(
