@@ -319,11 +319,9 @@ def mha(
         k = _split_heads(kh, n_heads)
         v = _split_heads(vh, n_heads)
         if cache is not None:
-            k = lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
-            v = lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
-            new_cache = {"k": k, "v": v}
-        else:
-            new_cache = None
+            return _self_decode_dt(q, k, v, cache, cache_index, mask, p,
+                                   lora)
+        new_cache = None
     elif fuse:
         q = _split_heads(linear(x, p["q"]), n_heads)
         kh, vh = _linear_cat(src, (p["k"], p["v"]))
@@ -442,14 +440,41 @@ def mha(
             k = _split_heads(linear(src, p["k"], lora.get("k")), n_heads)
             v = _split_heads(linear(src, p["v"], lora.get("v")), n_heads)
             if cache is not None:
-                # write at cache_index along the time axis (dim 1 in BTHD)
-                k = lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
-                v = lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
-                new_cache = {"k": k, "v": v}
-            else:
-                new_cache = None
+                return _self_decode_dt(q, k, v, cache, cache_index, mask, p,
+                                       lora)
+            new_cache = None
     out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal,
                     kv_len=kv_len)
+    return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
+
+
+def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora):
+    """Incremental decode self-attention on the TRANSPOSED [B, H, Dh, Tmax]
+    cache — the same full-lane-width layout as the cross cache (T on the
+    128-lane axis; the BTHD form put Dh=64 on lanes and read head-strided
+    panes). Measured NEUTRAL end to end at whisper-base bs64 (long-form
+    slopes identical to BTHD): the faster reads are offset by the per-step
+    write becoming a lane-column read-modify-write of the (8,128) tiles.
+    Kept for layout symmetry with the cross cache and the simpler
+    dedicated path. Long-form per-token cost is dominated by Tmax
+    (fixed-shape buffers), measured 2.34 ms/token busy at Tmax~300
+    (steady-state trace) — no layout pathology.
+
+    Numerics identical to `attention`'s XLA path: bf16 score einsum, f32
+    softmax, probs cast back for PV."""
+    lora = lora or {}
+    k_t = lax.dynamic_update_slice(
+        cache["k_t"], k_new.transpose(0, 2, 3, 1), (0, 0, 0, cache_index))
+    v_t = lax.dynamic_update_slice(
+        cache["v_t"], v_new.transpose(0, 2, 3, 1), (0, 0, 0, cache_index))
+    new_cache = {"k_t": k_t, "v_t": v_t}
+    dh = q.shape[-1]
+    scores = jnp.einsum("bqhd,bhdk->bhqk", q, k_t).astype(jnp.float32)
+    scores = scores * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhdk->bqhd", probs, v_t)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
@@ -735,7 +760,7 @@ def decoder_apply(
         pos = lax.dynamic_slice(
             dec["pos_embed"], (cache_index, 0), (t, dec["pos_embed"].shape[1])
         ).astype(dtype)[None]
-        t_max = cache["self"][0]["k"].shape[1]  # per-layer [B, Tmax, H, Dh]
+        t_max = cache["self"][0]["k_t"].shape[-1]  # per-layer [B,H,Dh,Tmax]
         positions = jnp.arange(t_max)[None, None, None, :]
         self_mask = positions <= (cache_index + jnp.arange(t)[:, None]).reshape(1, 1, t, 1)
     h = h + pos
@@ -845,8 +870,9 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
     reorder gathers it directly — the stacked layout cost per-token
     slice/restack plumbing (see decoder_apply).
 
-    self k/v: per-layer [B, max_len, H, Dh] (BTHD — rows written
-    incrementally); cross k/v: layout per `_decode_cross_layout` — 'btc'
+    self k/v: per-layer TRANSPOSED [B, H, Dh, max_len] (T on the lane
+    axis — see `_self_decode_dt`; one lane column written per step);
+    cross k/v: layout per `_decode_cross_layout` — 'btc'
     [B, Tpad, H·Dh] (kernel-native, zero-padded rows masked via the static
     kv_len) or 'bhtd' [B, H, T_src, Dh] (transposed ONCE here so the
     per-token full-cache XLA reads stream contiguously; see `mha`).
@@ -936,9 +962,10 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
                  "v_t": v_all[i].transpose(0, 1, 3, 2)}
                 for i in range(L))
     # the true (pre-pad) kv length is re-derived statically from
-    # enc_out.shape[1] inside decoder_apply — no dynamic state in the cache
-    zeros = jnp.zeros((self_batch or b, max_len, h, dh), dtype)
-    return {"self": tuple({"k": zeros, "v": zeros} for _ in range(L)),
+    # enc_out.shape[1] inside decoder_apply — no dynamic state in the cache.
+    # self K/V are TRANSPOSED [B, H, Dh, Tmax] (see _self_decode_dt).
+    zeros = jnp.zeros((self_batch or b, h, dh, max_len), dtype)
+    return {"self": tuple({"k_t": zeros, "v_t": zeros} for _ in range(L)),
             "cross": cross}
 
 
