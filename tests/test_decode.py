@@ -596,3 +596,34 @@ def test_beam_prefilter_parity(gen_pair):
     np.testing.assert_array_equal(np.asarray(s_on), np.asarray(s_off))
     np.testing.assert_allclose(np.asarray(v_on), np.asarray(v_off),
                                rtol=1e-5)
+
+
+def test_bucketed_greedy_matches_single_bucket():
+    """decode_buckets: chained small-buffer loop segments produce EXACTLY
+    the single-bucket tokens (the bucket boundary carries tokens, KV cache,
+    seen set, and lengths losslessly)."""
+    import numpy as np
+
+    import jax
+
+    from neuspeech1_tpu.config import StemConfig, tiny_config
+    from neuspeech1_tpu.decode.generate import GenerationConfig, greedy_decode
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg = tiny_config()
+    stem = StemConfig("base", in_channels=4)
+    params = init_params(jax.random.key(3), cfg, stem)
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.standard_normal(
+        (2, 4, cfg.max_source_positions * 4)).astype(np.float32))
+    prompt = np.asarray([[cfg.sot_id, cfg.first_language_id,
+                          cfg.transcribe_id, cfg.notimestamps_id]] * 2,
+                        np.int32)
+    kw = dict(max_length=4 + 14, repetition_penalty=2.0,
+              min_new_tokens=10)  # force generation across the boundary
+    plain = GenerationConfig.for_model(cfg, **kw)
+    bucketed = GenerationConfig.for_model(cfg, decode_buckets=(8, 12), **kw)
+    out_p = np.asarray(greedy_decode(params, feats, prompt, cfg, stem, plain))
+    out_b = np.asarray(greedy_decode(params, feats, prompt, cfg, stem,
+                                     bucketed))
+    np.testing.assert_array_equal(out_p, out_b)
