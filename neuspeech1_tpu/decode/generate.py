@@ -63,8 +63,9 @@ class GenerationConfig:
     # enables where exactness holds (no bias spec, no timestamps, rp >= 1);
     # default 'off'.
     beam_prefilter: str = "off"
-    # length-bucketed greedy/sampling decode: ascending buffer lengths
-    # (each capped at max_length, which is always the final bucket). Every
+    # length-bucketed decode (greedy/sampling/beam): ascending buffer
+    # lengths (each capped at max_length, the always-present final bucket).
+    # Every
     # per-step tensor op in the fixed-shape decode loop scales with the
     # BUFFER length, not the current position (measured 1.73 ms/token at
     # Tmax~52 vs 2.34 at Tmax~300, whisper-base bs64) — bucketing runs
@@ -341,6 +342,27 @@ def _resolve_buckets(gen: GenerationConfig, prompt_len: int):
     return tuple(bs)
 
 
+def _pad_beam_state(st, extra: int, pad_id: int):
+    """Beam-search analog of `_pad_decode_state`: grows tokens and fin_seq
+    [B, K, L] plus the per-layer self K/V caches; scores/flags/seen and the
+    cross caches are length-invariant."""
+    (tokens, cache, last, cur_len, alive_logp,
+     fin_seq, fin_scores, fin_exists, seen) = st
+    tokens = jnp.pad(tokens, ((0, 0), (0, 0), (0, extra)),
+                     constant_values=pad_id)
+    fin_seq = jnp.pad(fin_seq, ((0, 0), (0, 0), (0, extra)),
+                      constant_values=pad_id)
+    grown = tuple(
+        {k: jnp.pad(v, ((0, 0),) * (v.ndim - 1) + ((0, extra),))
+         for k, v in layer.items()}
+        for layer in cache["self"]
+    )
+    cache = dict(cache)
+    cache["self"] = grown
+    return (tokens, cache, last, cur_len, alive_logp,
+            fin_seq, fin_scores, fin_exists, seen)
+
+
 def _pad_decode_state(st, extra: int, pad_id: int):
     """Grow the bucketed decode state's length-carrying buffers by
     ``extra``: the token buffer (pad-filled) and the per-layer self K/V
@@ -507,20 +529,22 @@ def beam_search(
     # (mha folds the beam dim into the query rows) and allocate only the
     # self cache at B*K — K x fewer cross HBM reads per step and the
     # per-step beam reorder no longer gathers gigabytes of cross cache
-    cache = jw.init_cache(params, enc, config, max_len=L,
+    buckets = _resolve_buckets(gen, P)
+    L0 = buckets[0]
+    cache = jw.init_cache(params, enc, config, max_len=L0,
                           int8_cross=gen.int8_kv_cache, self_batch=B * K)
 
-    tokens = jnp.full((B, K, L), gen.pad_id, jnp.int32)
+    tokens = jnp.full((B, K, L0), gen.pad_id, jnp.int32)
     tokens = tokens.at[:, :, :P].set(prompt_ids.astype(jnp.int32)[:, None, :])
 
     logits, cache = jw.decoder_apply(
-        params, tokens.reshape(B * K, L)[:, :P], enc, config, lora=lora,
+        params, tokens.reshape(B * K, L0)[:, :P], enc, config, lora=lora,
         cache=cache, cache_index=0,
     )
     last = logits[:, -1]  # [B*K, V]
 
     alive_logp = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1)), (B, 1))  # [B,K]
-    fin_seq = jnp.full((B, K, L), gen.pad_id, jnp.int32)
+    fin_seq = jnp.full((B, K, L0), gen.pad_id, jnp.int32)
     fin_scores = jnp.full((B, K), NEG)
     fin_exists = jnp.zeros((B, K), bool)
 
@@ -529,7 +553,7 @@ def beam_search(
     use_seen = gen.repetition_penalty != 1.0
     V_dim = last.shape[-1]
     seen0 = (lp.seen_from_tokens(
-        tokens.reshape(B * K, L)[:, :P], jnp.asarray(P), V_dim)
+        tokens.reshape(B * K, L0)[:, :P], jnp.asarray(P), V_dim)
         if use_seen else jnp.zeros((B * K, 1), bool))
 
     def is_done(fin_scores, fin_exists, alive_logp, cur_len):
@@ -542,103 +566,115 @@ def beam_search(
         )
         return all_fin & (worst_fin >= best_alive)
 
-    def cond(st):
-        (tokens, cache, last, cur_len, alive_logp,
-         fin_seq, fin_scores, fin_exists, seen) = st
-        return (cur_len < L) & ~jnp.all(
-            is_done(fin_scores, fin_exists, alive_logp, cur_len)
-        )
+    def segment(st, Lb: int):
+        """Decode-bucket segment (see greedy_decode.segment): the beam
+        state's length-carrying buffers (tokens, fin_seq, self caches) are
+        [*, Lb]-shaped; chained segments grow them between while_loops
+        inside the same jit."""
 
-    def body(st):
-        (tokens, cache, last, cur_len, alive_logp,
-         fin_seq, fin_scores, fin_exists, seen) = st
-        V = last.shape[-1]
+        def cond(st):
+            (tokens, cache, last, cur_len, alive_logp,
+             fin_seq, fin_scores, fin_exists, seen) = st
+            return (cur_len < Lb) & ~jnp.all(
+                is_done(fin_scores, fin_exists, alive_logp, cur_len)
+            )
 
-        # HF beam search order: log_softmax FIRST, then the processor chain
-        # on the log-probs (contrast greedy, which processes raw logits).
-        logp = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
-        if use_prefilter:
-            # exact top-C prefilter: processors can only lower scores, so
-            # the post-processor top-2K lives inside the raw top-C; the
-            # chain then runs on [B*K, C] instead of [B*K, V] (tie order
-            # preserved — top_k is index-stable, so equal-score candidates
-            # keep vocab-id order within a beam and beam-major across)
-            cand_vals, cand_ids = lax.top_k(logp, C)      # [B*K, C]
-            cand_vals = _process_logits_subset(
-                cand_vals, cand_ids, tokens.reshape(B * K, L), cur_len,
-                gen, P, seen=seen if use_seen else None)
-            total = alive_logp.reshape(B * K, 1) + cand_vals
-            flat = total.reshape(B, K * C)
-            top_vals, top_idx = lax.top_k(flat, 2 * K)    # [B, 2K]
-            top_beam = top_idx // C
-            top_tok = jnp.take_along_axis(
-                cand_ids.reshape(B, K * C), top_idx, axis=1
-            ).astype(jnp.int32)
-        else:
-            logp = _process_logits(
-                logp, tokens.reshape(B * K, L), cur_len, gen, bias_spec, P,
-                seen=seen if use_seen else None,
-            ).reshape(B, K, V)
-            total = alive_logp[..., None] + logp  # [B, K, V]
+        def body(st):
+            (tokens, cache, last, cur_len, alive_logp,
+             fin_seq, fin_scores, fin_exists, seen) = st
+            V = last.shape[-1]
 
-            flat = total.reshape(B, K * V)
-            top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
-            top_beam = top_idx // V
-            top_tok = (top_idx % V).astype(jnp.int32)
-        is_eos = top_tok == gen.eos_id
+            # HF beam search order: log_softmax FIRST, then the processor chain
+            # on the log-probs (contrast greedy, which processes raw logits).
+            logp = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+            if use_prefilter:
+                # exact top-C prefilter: processors can only lower scores, so
+                # the post-processor top-2K lives inside the raw top-C; the
+                # chain then runs on [B*K, C] instead of [B*K, V] (tie order
+                # preserved — top_k is index-stable, so equal-score candidates
+                # keep vocab-id order within a beam and beam-major across)
+                cand_vals, cand_ids = lax.top_k(logp, C)      # [B*K, C]
+                cand_vals = _process_logits_subset(
+                    cand_vals, cand_ids, tokens.reshape(B * K, Lb), cur_len,
+                    gen, P, seen=seen if use_seen else None)
+                total = alive_logp.reshape(B * K, 1) + cand_vals
+                flat = total.reshape(B, K * C)
+                top_vals, top_idx = lax.top_k(flat, 2 * K)    # [B, 2K]
+                top_beam = top_idx // C
+                top_tok = jnp.take_along_axis(
+                    cand_ids.reshape(B, K * C), top_idx, axis=1
+                ).astype(jnp.int32)
+            else:
+                logp = _process_logits(
+                    logp, tokens.reshape(B * K, Lb), cur_len, gen, bias_spec, P,
+                    seen=seen if use_seen else None,
+                ).reshape(B, K, V)
+                total = alive_logp[..., None] + logp  # [B, K, V]
 
-        # ---- finished update: eos candidates fold into the finished set
-        cand_len = (cur_len + 1).astype(jnp.float32)
-        cand_scores = jnp.where(
-            is_eos, top_vals / (cur_len.astype(jnp.float32) ** gen.length_penalty), NEG
-        )  # HF: normalize by length of hyp WITHOUT the eos token (= cur_len)
-        # candidate sequences: parent beam's tokens (eos not written — HF adds
-        # the hyp without the eos token; pad stays)
-        parent_tokens = jnp.take_along_axis(
-            tokens, top_beam[..., None], axis=1
-        )  # [B, 2K, L]
-        all_scores = jnp.concatenate([fin_scores, cand_scores], axis=1)  # [B, 3K]
-        all_exists = jnp.concatenate([fin_exists, is_eos], axis=1)
-        all_seqs = jnp.concatenate([fin_seq, parent_tokens], axis=1)  # [B, 3K, L]
-        keep_vals, keep_idx = lax.top_k(
-            jnp.where(all_exists, all_scores, NEG), K
-        )
-        fin_scores = keep_vals
-        fin_exists = jnp.take_along_axis(all_exists, keep_idx, axis=1)
-        fin_seq = jnp.take_along_axis(all_seqs, keep_idx[..., None], axis=1)
+                flat = total.reshape(B, K * V)
+                top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
+                top_beam = top_idx // V
+                top_tok = (top_idx % V).astype(jnp.int32)
+            is_eos = top_tok == gen.eos_id
 
-        # ---- alive update: top K non-eos among the 2K candidates
-        alive_rank = jnp.where(is_eos, NEG, top_vals)
-        alive_vals, alive_pick = lax.top_k(alive_rank, K)  # [B, K]
-        new_beam = jnp.take_along_axis(top_beam, alive_pick, axis=1)  # [B,K]
-        new_tok = jnp.take_along_axis(top_tok, alive_pick, axis=1)
-        alive_logp = alive_vals
+            # ---- finished update: eos candidates fold into the finished set
+            cand_len = (cur_len + 1).astype(jnp.float32)
+            cand_scores = jnp.where(
+                is_eos, top_vals / (cur_len.astype(jnp.float32) ** gen.length_penalty), NEG
+            )  # HF: normalize by length of hyp WITHOUT the eos token (= cur_len)
+            # candidate sequences: parent beam's tokens (eos not written — HF adds
+            # the hyp without the eos token; pad stays)
+            parent_tokens = jnp.take_along_axis(
+                tokens, top_beam[..., None], axis=1
+            )  # [B, 2K, L]
+            all_scores = jnp.concatenate([fin_scores, cand_scores], axis=1)  # [B, 3K]
+            all_exists = jnp.concatenate([fin_exists, is_eos], axis=1)
+            all_seqs = jnp.concatenate([fin_seq, parent_tokens], axis=1)  # [B, 3K, L]
+            keep_vals, keep_idx = lax.top_k(
+                jnp.where(all_exists, all_scores, NEG), K
+            )
+            fin_scores = keep_vals
+            fin_exists = jnp.take_along_axis(all_exists, keep_idx, axis=1)
+            fin_seq = jnp.take_along_axis(all_seqs, keep_idx[..., None], axis=1)
 
-        tokens = jnp.take_along_axis(tokens, new_beam[..., None], axis=1)
-        tokens = jax.vmap(
-            jax.vmap(lambda row, t: lax.dynamic_update_slice(row, t[None], (cur_len,)),
-                     in_axes=(0, 0)),
-            in_axes=(0, 0),
-        )(tokens, new_tok)
+            # ---- alive update: top K non-eos among the 2K candidates
+            alive_rank = jnp.where(is_eos, NEG, top_vals)
+            alive_vals, alive_pick = lax.top_k(alive_rank, K)  # [B, K]
+            new_beam = jnp.take_along_axis(top_beam, alive_pick, axis=1)  # [B,K]
+            new_tok = jnp.take_along_axis(top_tok, alive_pick, axis=1)
+            alive_logp = alive_vals
 
-        if use_seen:
-            flat = (new_beam + jnp.arange(B)[:, None] * K).reshape(-1)
-            seen = lp.update_seen(jnp.take(seen, flat, axis=0),
-                                  new_tok.reshape(-1))
+            tokens = jnp.take_along_axis(tokens, new_beam[..., None], axis=1)
+            tokens = jax.vmap(
+                jax.vmap(lambda row, t: lax.dynamic_update_slice(row, t[None], (cur_len,)),
+                         in_axes=(0, 0)),
+                in_axes=(0, 0),
+            )(tokens, new_tok)
 
-        cache = dict(cache)
-        cache["self"] = _gather_beams(cache["self"], new_beam, B, K)
-        logits, cache = jw.decoder_apply(
-            params, new_tok.reshape(B * K, 1), enc, config, lora=lora,
-            cache=cache, cache_index=cur_len,
-        )
-        return (tokens, cache, logits[:, -1], cur_len + 1, alive_logp,
-                fin_seq, fin_scores, fin_exists, seen)
+            if use_seen:
+                flat = (new_beam + jnp.arange(B)[:, None] * K).reshape(-1)
+                seen = lp.update_seen(jnp.take(seen, flat, axis=0),
+                                      new_tok.reshape(-1))
 
-    init = (tokens, cache, last, jnp.asarray(P, jnp.int32), alive_logp,
-            fin_seq, fin_scores, fin_exists, seen0)
+            cache = dict(cache)
+            cache["self"] = _gather_beams(cache["self"], new_beam, B, K)
+            logits, cache = jw.decoder_apply(
+                params, new_tok.reshape(B * K, 1), enc, config, lora=lora,
+                cache=cache, cache_index=cur_len,
+            )
+            return (tokens, cache, logits[:, -1], cur_len + 1, alive_logp,
+                    fin_seq, fin_scores, fin_exists, seen)
+
+        return lax.while_loop(cond, body, st)
+
+    st = (tokens, cache, last, jnp.asarray(P, jnp.int32), alive_logp,
+          fin_seq, fin_scores, fin_exists, seen0)
+    st = segment(st, buckets[0])
+    for lb_prev, lb in zip(buckets, buckets[1:]):
+        st = _pad_beam_state(st, lb - lb_prev, gen.pad_id)
+        st = segment(st, lb)
     (tokens, cache, last, cur_len, alive_logp,
-     fin_seq, fin_scores, fin_exists, _seen) = lax.while_loop(cond, body, init)
+     fin_seq, fin_scores, fin_exists, _seen) = st
 
     # fold still-alive beams in as hypotheses of length L (no eos reached)
     alive_scores = alive_logp / (cur_len.astype(jnp.float32) ** gen.length_penalty)

@@ -22,14 +22,14 @@ from neuspeech1_tpu.config import SIGNAL_SAMPLE_RATE, StemConfig, WhisperConfig
 
 
 def _resolve_decode_buckets(mode: str, num_beams: int, max_length: int):
-    """'auto': length-bucket greedy/sampling decode when max_length is
-    large — per-step decode cost scales with the fixed buffer length
-    (3.34 ms/token at Tmax=448 vs 1.73 at Tmax~52, whisper-base bs64), so
+    """'auto': length-bucket the decode loops when max_length is large —
+    per-step decode cost scales with the fixed buffer length (3.34
+    ms/token at Tmax=448 vs 1.73 at Tmax~52, whisper-base bs64 greedy), so
     short utterances decoded under a big max_length otherwise pay the
-    big-buffer rate the whole way. 'off' disables; a comma-separated int
-    list pins explicit buckets. Beam search runs unbucketed (its state
-    carries finished-hypothesis buffers; not implemented)."""
-    if mode == "off" or num_beams > 1:
+    big-buffer rate the whole way. Applies to greedy, sampling, AND beam
+    search (each chains per-bucket while_loops inside one jit). 'off'
+    disables; a comma-separated int list pins explicit buckets."""
+    if mode == "off":
         return ()
     if mode == "auto":
         return tuple(x for x in (64, 128, 256) if x < max_length) \

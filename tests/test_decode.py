@@ -627,3 +627,33 @@ def test_bucketed_greedy_matches_single_bucket():
     out_b = np.asarray(greedy_decode(params, feats, prompt, cfg, stem,
                                      bucketed))
     np.testing.assert_array_equal(out_p, out_b)
+
+
+def test_bucketed_beam_matches_single_bucket():
+    """Bucketed beam search (reference eval config) is token- and
+    score-exact vs the single-bucket loop across a bucket boundary."""
+    import numpy as np
+
+    import jax
+
+    from neuspeech1_tpu.config import StemConfig, tiny_config
+    from neuspeech1_tpu.decode.generate import GenerationConfig, beam_search
+    from neuspeech1_tpu.models.init import init_params
+
+    cfg = tiny_config()
+    stem = StemConfig("base", in_channels=4)
+    params = init_params(jax.random.key(5), cfg, stem)
+    rng = np.random.default_rng(17)
+    feats = jnp.asarray(rng.standard_normal(
+        (2, 4, cfg.max_source_positions * 4)).astype(np.float32))
+    prompt = np.asarray([[cfg.sot_id, cfg.first_language_id,
+                          cfg.transcribe_id, cfg.notimestamps_id]] * 2,
+                        np.int32)
+    kw = dict(max_length=4 + 14, num_beams=3, repetition_penalty=5.0,
+              no_repeat_ngram_size=2, min_new_tokens=10)
+    plain = GenerationConfig.for_model(cfg, **kw)
+    bucketed = GenerationConfig.for_model(cfg, decode_buckets=(8, 12), **kw)
+    seq_p, sc_p = beam_search(params, feats, prompt, cfg, stem, plain)
+    seq_b, sc_b = beam_search(params, feats, prompt, cfg, stem, bucketed)
+    np.testing.assert_array_equal(np.asarray(seq_p), np.asarray(seq_b))
+    np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_b), rtol=1e-6)
