@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("top_k", int, 0, "sampling top-k (0 = off)")
     add_arg("top_p", float, 1.0, "sampling top-p (1.0 = off)")
     add_arg("sample_seed", int, 0, "PRNG seed for --do_sample")
+    add_arg("decode_buckets", str, "auto",
+            "length-bucketed decode: 'auto' (64,128,256 under a larger "
+            "max_length), 'off', or comma-separated lengths")
     add_arg("teacher_forcing", bool, False, "argmax under gold prefix")
     add_arg("noise", bool, False, "replace inputs with noise (ablation)")
     add_arg("random_choice", bool, False, "random-label baseline")
@@ -94,6 +97,7 @@ def main(argv=None):
     from neuspeech1_tpu.data.collate import Collator
     from neuspeech1_tpu.data.dataset import EEGDataset
     from neuspeech1_tpu.data.loader import DataLoader
+    from neuspeech1_tpu import serve as _serve
     from neuspeech1_tpu.decode.generate import (
         GenerationConfig, generate, teacher_forcing_predict,
     )
@@ -187,6 +191,9 @@ def main(argv=None):
         timestamps=args.timestamps,  # whisper timestamp grammar
         do_sample=args.do_sample, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
+        decode_buckets=_serve._resolve_decode_buckets(
+            args.decode_buckets, args.num_beams,
+            prompt.shape[1] + args.max_new_tokens),
         **common.suppress_kwargs(args.suppress_tokens, tokenizer),
     )
     sample_rng = None
