@@ -92,6 +92,13 @@ class WhisperConfig:
     # even at T=64: 280.5 -> 264.8 ms/step at whisper-base bs64 (round-2
     # device measurements; the old BHTD path lost 22 ms there).
     decoder_flash_min_q: int = 1
+    # minimum teacher-forcing query length for flash in the decoder's SELF
+    # attention specifically (cross-attention keeps the gate above). At
+    # T<=64 the [B,H,T,T] tensors are tiny and the kernel's per-instance
+    # overhead dominates: XLA self-attn measured 201.8 -> 200.9 ms/step at
+    # whisper-base bs64 label-len 64 (round 3b). Flash self still wins once
+    # T is large enough that the T^2 intermediates matter.
+    decoder_flash_self_min_q: int = 256
     # lax.scan unroll over the stacked layers. 0 = auto: FULL unroll on TPU
     # (264->250 ms/step at whisper-base bs64 — XLA drops the scan-carry
     # dynamic-update-slice stacking and schedules across layer boundaries;

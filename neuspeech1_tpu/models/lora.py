@@ -95,11 +95,32 @@ def folded_linear(x, p: Params, entry: Params):
     return y
 
 
+def _tmajor() -> bool:
+    """MEASURED REJECT, kept selectable. Hypothesis: flatten [B, T, d]
+    activations T-MAJOR (transpose(1,0,2) before the flat reshape) so the
+    flatten is a free bitcast under the {2,0,1} (T-outer) layout XLA
+    prefers for these activations, killing the ~9 ms/step of standalone
+    transposes the round-3 trace blamed on the pallas operands' pinned
+    {2,1,0}. Measured (whisper-base bs64 noremat, round 3): fc fold
+    202.6 -> 227.8 ms/step, linear fold 207.0 -> 237.3 — XLA's layout
+    solver does NOT settle on {2,0,1} in the fold regime, so the explicit
+    transposes materialize on top of the existing copies. The kernel's
+    token sums are order-invariant, so either orientation is correct
+    (tests pass under both)."""
+    import os
+
+    return os.environ.get("NEUSPEECH_FOLD_TMAJOR", "0") == "1"
+
+
 def _flat_dot(x, w):
     """x @ w through a flat [N, din] view — keeps every producer/consumer
     of the folded path on the flat {1,0} layout the backward kernel pins
     (mixed 3D/flat forms made XLA materialize {2,0,1}<->{2,1,0} copies)."""
     din = x.shape[-1]
+    if x.ndim == 3 and _tmajor():
+        bb, tt, _ = x.shape
+        y = jnp.dot(x.transpose(1, 0, 2).reshape(bb * tt, din), w)
+        return y.reshape(tt, bb, w.shape[-1]).transpose(1, 0, 2)
     n = 1
     for s in x.shape[:-1]:
         n *= s
@@ -137,10 +158,18 @@ def _folded_linear_bwd(res, dy):
         # dot: measured in-kernel dx = 228 ms/step vs 207 (the kernel's
         # per-block matmul loses the deep pipelining + consumer fusion of
         # XLA's dx dot, and its VMEM footprint shrinks the token blocks).
-        dy2 = dy.reshape(n_tokens, dout)
+        tmaj = x.ndim == 3 and _tmajor()
+        if tmaj:
+            # T-major flatten: free bitcast under the {2,0,1} layout XLA
+            # prefers for these activations (see _tmajor); the kernel's
+            # token sums are order-invariant
+            dy2 = dy.transpose(1, 0, 2).reshape(n_tokens, dout)
+            x2 = x.transpose(1, 0, 2).reshape(n_tokens, din)
+        else:
+            dy2 = dy.reshape(n_tokens, dout)
+            x2 = x.reshape(n_tokens, din)
         da32, db_raw, de_raw = _lb.lora_adapter_bwd(
-            x.reshape(n_tokens, din), dy2,
-            a.astype(x.dtype), b.astype(dy.dtype), block_n=block_n)
+            x2, dy2, a.astype(x.dtype), b.astype(dy.dtype), block_n=block_n)
         da32 = da32 * scale32
         de32 = de_raw * scale32
         # flat dx dot so dy's two consumers (kernel + this dot) agree on
@@ -150,7 +179,12 @@ def _folded_linear_bwd(res, dy):
         # turns them into ~9 ms/step of standalone copies — measured
         # equal whether dx is flat, 3D-einsum, or in-kernel (207 / 207.2 /
         # 228 ms/step vs 205.6 for NEUSPEECH_FOLD_IMPL=merge).
-        dx = jnp.dot(dy2, w_eff.T).reshape(x.shape).astype(x.dtype)
+        dx = jnp.dot(dy2, w_eff.T)
+        if tmaj:
+            dx = dx.reshape(x.shape[1], x.shape[0], din).transpose(1, 0, 2)
+            dx = dx.astype(x.dtype)
+        else:
+            dx = dx.reshape(x.shape).astype(x.dtype)
     else:
         dx = jnp.einsum("...o,do->...d", dy, w_eff).astype(x.dtype)
         lead = tuple(range(x.ndim - 1))  # contracted batch/time dims

@@ -508,6 +508,21 @@ def mlp(x, p: Params, lora: Optional[Params] = None):
 # stems: [B, ch, T] -> [B, frames, d]
 # --------------------------------------------------------------------------
 
+def _conv1d_nch_in(x_nch, p: Params, stride: int = 1, padding: int = 1):
+    """First-stem-conv variant reading the RAW [B, C, T] input (NCH) and
+    writing channels-last [B, T, O]: the dims spec does the transpose inside
+    the conv instead of a standalone [B,T,C] copy of the 300 MB input."""
+    w = p["w"].astype(x_nch.dtype)  # [O, I, K]
+    b = p["b"].astype(x_nch.dtype)
+    return lax.conv_general_dilated(
+        x_nch,
+        w.transpose(2, 1, 0),  # [K, I, O]
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "HIO", "NHC"),
+    ) + b
+
+
 def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig,
                dropout_rng=None):
     """Projection stem + whisper conv2, mirroring the reference geometry.
@@ -521,6 +536,24 @@ def apply_stem(params: Params, features, config: WhisperConfig, stem: StemConfig
     then always: gelu(conv2(h)) with s2 (`utils/load_model.py:348,411`).
     Output: [B, T', d_model] with T' == config.max_source_positions.
     """
+    if _os.environ.get("NEUSPEECH_STEM_NCH_IN", "0") == "1":
+        sp = params["stem"]
+        if stem.kind == "speech":
+            h = gelu_exact(_conv1d_nch_in(features, sp["conv1"], stride=1))
+        elif stem.kind == "base":
+            h = gelu_exact(_conv1d_nch_in(features, sp["conv_a"], stride=1))
+            h = gelu_exact(conv1d_cl(h, sp["conv_b"], stride=2))
+        elif stem.kind == "replace":
+            h = gelu_exact(_conv1d_nch_in(features, sp["conv"], stride=2))
+        else:  # premel
+            h = _conv1d_nch_in(features, sp["pre_conv"], stride=2, padding=2)
+            if stem.dropout > 0 and dropout_rng is not None:
+                keep = 1.0 - stem.dropout
+                mask = jax.random.bernoulli(
+                    dropout_rng, keep, (h.shape[0], 1, h.shape[2]))
+                h = jnp.where(mask, h / keep, 0.0)
+            h = gelu_exact(conv1d_cl(h, sp["conv1"], stride=1))
+        return gelu_exact(conv1d_cl(h, params["conv2"], stride=2))
     # channels-last throughout: one input transpose, none at the output
     x = features.transpose(0, 2, 1)  # [B, T, ch]
     sp = params["stem"]
@@ -700,11 +733,16 @@ def encoder_apply(
 
 def _decoder_layer(h, layer_p, enc_out, self_mask, n_heads, lora=None,
                    self_cache=None, cross_cache=None, cache_index=None,
-                   use_flash=False, cross_kv_len=None):
+                   use_flash=False, cross_kv_len=None, use_flash_self=None):
     lora = lora or {}
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
-    flash_self = use_flash and self_cache is None
+    # teacher-forcing decoder SELF-attention has its own flash gate
+    # (config.decoder_flash_self_min_q): at tiny T the [B,H,T,T] tensors
+    # are small and the kernel's per-instance overhead dominates, so the
+    # XLA path wins while cross-attention stays on the flash kernel
+    flash_self = (use_flash if use_flash_self is None else use_flash_self) \
+        and self_cache is None
     x, new_self = mha(
         x, layer_p["self_attn"], n_heads,
         mask=None if flash_self else self_mask,
@@ -769,6 +807,8 @@ def decoder_apply(
     enc_out = enc_out.astype(dtype)
     use_flash = cache is None and resolve_flash(config, enc_out.shape[1]) \
         and resolve_flash(config, t) and t >= config.decoder_flash_min_q
+    use_flash_self = use_flash and t >= getattr(
+        config, "decoder_flash_self_min_q", 256)
     kv_len = None
     if enc_valid_len is not None and enc_valid_len != enc_out.shape[1]:
         if use_flash:
@@ -782,6 +822,7 @@ def decoder_apply(
                 out, _ = _decoder_layer(
                     carry, layer_p, enc_out, self_mask, config.decoder_heads,
                     use_flash=use_flash, cross_kv_len=kv_len,
+                    use_flash_self=use_flash_self,
                 )
                 return out, None
             h, _ = lax.scan(body, h, dec["layers"], unroll=_scan_unroll(config))
@@ -791,6 +832,7 @@ def decoder_apply(
                 out, _ = _decoder_layer(
                     carry, layer_p, enc_out, self_mask, config.decoder_heads,
                     lora=layer_l, use_flash=use_flash, cross_kv_len=kv_len,
+                    use_flash_self=use_flash_self,
                 )
                 return out, None
             h, _ = lax.scan(body, h, (dec["layers"], dec_lora), unroll=_scan_unroll(config))

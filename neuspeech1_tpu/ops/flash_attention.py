@@ -479,7 +479,15 @@ _LANE = 128
 
 
 def _btc_heads_per_block(d_head: int) -> int:
-    """Heads per 128-lane block; d_head must divide 128."""
+    """Heads per lane-block; d_head must divide 128. Default = one 128-lane
+    register row (2 heads at d_head=64). NEUSPEECH_FLASH_HP overrides for
+    experiments (e.g. 4 → 256-lane blocks: half the grid instances, double
+    the VMEM per instance)."""
+    import os as _os
+
+    hp = int(_os.environ.get("NEUSPEECH_FLASH_HP", "0"))
+    if hp > 0:
+        return hp
     return max(1, _LANE // d_head)
 
 
@@ -488,46 +496,54 @@ def _fwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_kv,
     qi = pl.program_id(2)
     tk_pad = k_ref.shape[1]
 
-    def scores(hh):
-        sl = slice(hh * d_head, (hh + 1) * d_head)
-        q = q_ref[0, :, sl]              # [BQ, D]
-        k = k_ref[0, :, sl]              # [Tk_pad, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # Softmax is EXACT for ANY per-row m >= nothing in particular — p/l
+    # ratios and lse = m*scale + log(l) are invariant in the shift — so the
+    # row max is taken over the RAW dot output (including masked/padded
+    # columns) and scale+mask fold into the exp's FMA:
+    # p = exp((s - m)*scale + bias). This drops the standalone
+    # s*scale(+bias) full-tile VPU pass the old form spent between the dot
+    # and the max. Masked/padded columns still underflow to exactly 0
+    # through the -1e9 bias. Including them in m is safe: padded K rows are
+    # either exact zeros (this wrapper's own padding) or garbage-but-
+    # LN-BOUNDED rows (the padded encoder states — every attention K input
+    # is post-layernorm), so m exceeds the true max by at most a few score
+    # units and exp keeps full f32 relative precision in p/l.
+    def bias_for(s_shape):
         if causal:
-            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
             mask = kv_idx < t_kv
             q_idx = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 0)
+                jnp.int32, s_shape, 0)
             mask = mask & (kv_idx <= q_idx)
-            s = jnp.where(mask, s * scale, NEG_INF)
-        elif t_kv < tk_pad:
-            # kv-pad masking as one FMA with a broadcast [1, Tk_pad] bias
-            # row (0 / -1e9): padded columns get s*scale - 1e9, which
-            # underflows exp() to exactly 0 like a hard select would.
+            return jnp.where(mask, 0.0, NEG_INF)
+        if t_kv < tk_pad:
             kv_valid = jax.lax.broadcasted_iota(
                 jnp.int32, (1, tk_pad), 1) < t_kv
-            bias_row = jnp.where(kv_valid, 0.0, NEG_INF)
-            s = s * scale + bias_row
-        else:
-            s = s * scale
-        return s
+            return jnp.where(kv_valid, 0.0, NEG_INF)
+        return None
 
     # NOTE: phase-interleaving the hp heads (all score dots first, then the
     # softmax+PV phase) was measured 222.1 vs 220.5 ms/step — holding both
     # f32 score tiles live costs more than any MXU/VPU overlap it buys.
     for hh in range(hp):
         sl = slice(hh * d_head, (hh + 1) * d_head)
-        s = scores(hh)
+        q = q_ref[0, :, sl]              # [BQ, D]
+        k = k_ref[0, :, sl]              # [Tk_pad, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        bias = bias_for(s.shape)
+        if bias is None:
+            p = jnp.exp((s - m) * scale)
+        else:
+            p = jnp.exp((s - m) * scale + bias)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / l
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
-        lse = (m + jnp.log(l))[:, 0]
+        lse = (m * scale + jnp.log(l))[:, 0]
         # 8 replicated sublanes per head (f32 (8,128) min-tile)
         lse_ref[0, hh * 8:(hh + 1) * 8, :] = jnp.broadcast_to(
             lse[None, :], (8, lse.shape[0]))
@@ -592,22 +608,27 @@ def _bwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        # scale+mask folded into the exp's FMA (same one-pass form as the
+        # forward kernel): p = exp((s - lse/scale)*scale + bias). The
+        # masked/padded columns underflow to exactly 0 through the bias.
         if causal:
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             mask = kv_idx < t_kv
             q_idx = qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0)
             mask = mask & (kv_idx <= q_idx)
-            s = jnp.where(mask, s * scale, NEG_INF)
+            bias = jnp.where(mask, 0.0, NEG_INF)
         elif t_kv < k_ref.shape[1]:
-            # same FMA bias-row trick as the forward kernel
             kv_valid = jax.lax.broadcasted_iota(
                 jnp.int32, (1, k_ref.shape[1]), 1) < t_kv
-            bias_row = jnp.where(kv_valid, 0.0, NEG_INF)
-            s = s * scale + bias_row
+            bias = jnp.where(kv_valid, 0.0, NEG_INF)
         else:
-            s = s * scale
-        p = jnp.exp(s - lse[:, None])
+            bias = None
+        lse_r = (lse * (1.0 / scale))[:, None]
+        if bias is None:
+            p = jnp.exp((s - lse_r) * scale)
+        else:
+            p = jnp.exp((s - lse_r) * scale + bias)
 
         # dots take operands in the INPUT dtype (MXU-native bf16 when the
         # model runs bf16; f32 inputs keep full precision) with f32
@@ -622,13 +643,18 @@ def _bwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         delta = jnp.sum(do_f * o.astype(jnp.float32), axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(op_t)
+        # ds's trailing *scale folds into the SMALL per-instance operands of
+        # the dq/dk dots ([Tk,D]/[BQ,D] one-time multiplies) instead of a
+        # full [BQ, Tk] tile pass
+        ds = (p * (dp - delta)).astype(op_t)
+        k_s = (k.astype(jnp.float32) * scale).astype(op_t)
+        q_s = (q.astype(jnp.float32) * scale).astype(op_t)
         dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds, k_s, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_acc[:, sl] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds, q_s, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(qb == n_q_blocks - 1)
@@ -648,7 +674,10 @@ def _bwd_arrays_btc(qp, kp, vp, op, dop, lsep, scale, causal, block_q,
     # block size) and keep the lse block's lane dim a 128-multiple. The
     # entry point quantizes block_q to a lane multiple, so tq_pad is a lane
     # multiple too and this search always terminates at >= _LANE.
-    bq = min(block_q, 512) // _LANE * _LANE
+    import os as _os
+
+    bq_env = int(_os.environ.get("NEUSPEECH_FLASH_BWD_BQ", "0"))
+    bq = (bq_env or min(block_q, 512)) // _LANE * _LANE
     while bq > _LANE and tq_pad % bq:
         bq -= _LANE
     n_q_blocks = tq_pad // bq
