@@ -576,3 +576,29 @@ def test_decode_cross_layouts_agree(monkeypatch):
     np.testing.assert_array_equal(outs["btc"][0], outs["bhtd"][0])
     np.testing.assert_array_equal(outs["btc"][1], outs["bhtd"][1])
     np.testing.assert_allclose(outs["btc"][2], outs["bhtd"][2], rtol=1e-4)
+
+
+def test_decoder_flash_self_gate_equality():
+    """Decoder logits are identical whether the teacher-forcing decoder
+    SELF-attention takes the flash kernel or the XLA path (the
+    `decoder_flash_self_min_q` gate, round-3b: XLA wins below ~256 query
+    tokens where the kernel is instance-overhead-bound). Cross-attention
+    stays on the flash kernel in both configs."""
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    from tests.test_train import make_batch, mini_cfg
+
+    cfg_self_flash = mini_cfg(flash_attention="on", decoder_flash_self_min_q=1)
+    cfg_self_xla = mini_cfg(flash_attention="on",
+                            decoder_flash_self_min_q=10_000)
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg_self_flash, stem)
+    batch = make_batch(cfg_self_flash, stem, b=2)
+    out_flash = jw.forward(params, batch["input_features"],
+                           batch["decoder_input_ids"], cfg_self_flash, stem)
+    out_xla = jw.forward(params, batch["input_features"],
+                         batch["decoder_input_ids"], cfg_self_xla, stem)
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_flash),
+                               rtol=2e-4, atol=2e-4)
