@@ -259,6 +259,66 @@ def _decode_cross_ok(k) -> bool:
                                        itemsize=k.dtype.itemsize))
 
 
+# MEASURED REJECT, kept selectable (NEUSPEECH_QKV_BWD_FUSED=1): backward-
+# only multi-linear fusion for q/k/v (and cross k/v) projections sharing
+# one input. The FORWARD stays three separate dots — the fused forward
+# (_linear_cat) is its own reject because its sliced outputs force copies
+# in front of the Pallas attention kernels (218.2 vs 202.4 ms/step). The
+# BACKWARD concatenates the dys once and computes
+#   dx    = dy_cat @ Wcat^T      (ONE deep-K dot: K = sum(douts))
+#   dW_cat = x^T @ dy_cat        (one dot, sliced into per-matrix grads)
+# hypothesizing a win from replacing N shallow-K dots (K=512 dots measure
+# ~107 TF/s vs ~172 deep-K on v5e) and the N-1 [B,T,d] dx add passes.
+# Measured (whisper-base bs64 noremat, round 3b): 200.8 -> 208.5 ms/step —
+# the dy concat copies plus the custom_vjp closed_call boundary relayouts
+# cost more than the dot-rate gain, the same boundary-tax law as the
+# pallas-operand finding (PARITY.md). Gradients are identical (7.5e-8 max
+# diff on the CPU f32 check; the dx sum lands in one f32 accumulator).
+@jax.custom_vjp
+def _multi_linear(x, ps):
+    return tuple(linear(x, p) for p in ps)
+
+
+def _multi_linear_fwd(x, ps):
+    return _multi_linear(x, ps), (x, ps)
+
+
+def _multi_linear_bwd(res, dys):
+    x, ps = res
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    din = x.shape[-1]
+    dy_cat = jnp.concatenate(dys, axis=-1).reshape(n, -1)
+    wcat = jnp.concatenate(
+        [p["w"] for p in ps], axis=1).astype(dy_cat.dtype)
+    dx = jnp.dot(dy_cat, wcat.T).reshape(x.shape).astype(x.dtype)
+    dw_cat = jax.lax.dot_general(
+        x.reshape(n, din), dy_cat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_ps = []
+    off = 0
+    for p, dy in zip(ps, dys):
+        dout = p["w"].shape[1]
+        d_p = jax.tree_util.tree_map(jnp.zeros_like, p)
+        d_p["w"] = lax.slice_in_dim(
+            dw_cat, off, off + dout, axis=1).astype(p["w"].dtype)
+        if "b" in p and p["b"] is not None:
+            d_p["b"] = jnp.sum(
+                dy.astype(jnp.float32),
+                axis=tuple(range(dy.ndim - 1))).astype(p["b"].dtype)
+        d_ps.append(d_p)
+        off += dout
+    return dx, tuple(d_ps)
+
+
+_multi_linear.defvjp(_multi_linear_fwd, _multi_linear_bwd)
+
+
+def _qkv_bwd_fused() -> bool:
+    return _os.environ.get("NEUSPEECH_QKV_BWD_FUSED", "0") == "1"
+
+
 def _linear_cat(x, ps):
     """One dot through the column-concat of several linears' weights,
     returning per-linear output slices. The projections' FLOPs are
@@ -329,7 +389,29 @@ def mha(
         v = _split_heads(vh, n_heads)
         new_cache = None
     else:
+        # applies under the merged/fc fold regimes too: merged attention
+        # adapters leave `lora` empty here and their dW_eff cotangents
+        # chain through merge_lora's autodiff regardless of which dot
+        # produced them
+        bwd_fuse = cache is None and not lora and _qkv_bwd_fused()
+        if bwd_fuse and kv_source is None:
+            qh, kh, vh = _multi_linear(x, (p["q"], p["k"], p["v"]))
+            q = _split_heads(qh, n_heads)
+            k = _split_heads(kh, n_heads)
+            v = _split_heads(vh, n_heads)
+            out = attention(q, k, v, mask=mask, use_flash=use_flash,
+                            causal=causal, kv_len=kv_len)
+            return linear(_merge_heads(out), p["out"],
+                          lora.get("out")), None
         q = _split_heads(linear(x, p["q"], lora.get("q")), n_heads)
+        if bwd_fuse:
+            kh, vh = _multi_linear(src, (p["k"], p["v"]))
+            k = _split_heads(kh, n_heads)
+            v = _split_heads(vh, n_heads)
+            out = attention(q, k, v, mask=mask, use_flash=use_flash,
+                            causal=causal, kv_len=kv_len)
+            return linear(_merge_heads(out), p["out"],
+                          lora.get("out")), None
         if cache is not None and kv_source is not None and cache_index is None:
             # cross-attention with precomputed encoder K/V. The cache keeps
             # K/V in [B, H, Tkv, Dh] (BHTD) so each (b, h) pane is read as
