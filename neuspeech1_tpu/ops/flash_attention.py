@@ -491,8 +491,16 @@ def _btc_heads_per_block(d_head: int) -> int:
     return max(1, _LANE // d_head)
 
 
-def _fwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_kv,
-                    block_q, causal, d_head, hp):
+def _fwd_kernel_btc(q_ref, k_ref, v_ref, *rest, scale, t_kv,
+                    block_q, causal, d_head, hp, has_bias=False):
+    # with has_bias, an extra [1, 8, Tk_pad] f32 operand carries an
+    # EXPLICIT additive bias row (0 / -1e9) instead of the iota-computed
+    # kv_len mask — needed when the mask is data-dependent per SPMD shard
+    # (ring attention) and usable for ALiBi-style biasing
+    if has_bias:
+        bias_ref, o_ref, lse_ref = rest
+    else:
+        o_ref, lse_ref = rest
     qi = pl.program_id(2)
     tk_pad = k_ref.shape[1]
 
@@ -509,6 +517,8 @@ def _fwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_kv,
     # is post-layernorm), so m exceeds the true max by at most a few score
     # units and exp keeps full f32 relative precision in p/l.
     def bias_for(s_shape):
+        if has_bias:
+            return bias_ref[0, 0:1, :]
         if causal:
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
             mask = kv_idx < t_kv
@@ -586,9 +596,13 @@ def _fwd_arrays_btc(q, k, v, scale, causal, block_q, t_q, t_kv, d_head):
     return o, lse
 
 
-def _bwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                    scale, t_kv, block_q, causal, d_head, hp, n_q_blocks):
+def _bwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, *rest,
+                    scale, t_kv, block_q, causal, d_head, hp, n_q_blocks,
+                    has_bias=False):
+    if has_bias:
+        bias_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     qb = pl.program_id(2)
 
     @pl.when(qb == 0)
@@ -611,7 +625,9 @@ def _bwd_kernel_btc(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         # scale+mask folded into the exp's FMA (same one-pass form as the
         # forward kernel): p = exp((s - lse/scale)*scale + bias). The
         # masked/padded columns underflow to exactly 0 through the bias.
-        if causal:
+        if has_bias:
+            bias = bias_ref[0, 0:1, :]
+        elif causal:
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             mask = kv_idx < t_kv
             q_idx = qb * block_q + jax.lax.broadcasted_iota(
@@ -720,6 +736,109 @@ def _bwd_arrays_btc(qp, kp, vp, op, dop, lsep, scale, causal, block_q,
         ],
         interpret=not on_tpu(),
     )(qp, kp, vp, op, dop, lsep)
+    return dq, dk, dv
+
+
+def fwd_arrays_btc_bias(q, k, v, bias, scale, block_q, d_head):
+    """Forward with an EXPLICIT additive bias row (ring attention / SPMD
+    shards where the kv mask is data-dependent). q [B, Tq, C] with
+    block_q | Tq; k, v [B, Tk, C]; bias [1, 8, Tk] f32 (0 / -1e9).
+    Returns (o [B, Tq, C], lse f32 [B, 8*H, Tq]). A fully-masked row
+    yields o = 0/0 = NaN and lse = -inf — callers merging partials must
+    gate on lse (see parallel/ring_attention.py)."""
+    b, tq_pad, c = q.shape
+    tk_pad = k.shape[1]
+    hp = _btc_heads_per_block(d_head)
+    n_heads = c // d_head
+    grid = (b, n_heads // hp, tq_pad // block_q)
+    hp_cols = hp * d_head
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_btc, scale=scale, t_kv=tk_pad, block_q=block_q,
+            causal=False, d_head=d_head, hp=hp, has_bias=True,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hp_cols), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, hp_cols), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, hp_cols), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tk_pad), lambda b, h, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hp_cols), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * hp, block_q), lambda b, h, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, 8 * n_heads, tq_pad), jnp.float32),
+        ],
+        interpret=not on_tpu(),
+    )(q, k, v, bias)
+    return o, lse
+
+
+def bwd_arrays_btc_bias(qp, kp, vp, op, dop, lsep, bias, scale, block_q,
+                        d_head):
+    """Backward twin of `fwd_arrays_btc_bias` — ``lsep`` may be the GLOBAL
+    (merged) lse so partial grads against one kv shard come out in global
+    normalization (ring attention's backward)."""
+    b, tq_pad, c = qp.shape
+    tk_pad = kp.shape[1]
+    hp = _btc_heads_per_block(d_head)
+    n_heads = c // d_head
+    hp_cols = hp * d_head
+    bq = min(block_q, 512) // _LANE * _LANE
+    while bq > _LANE and tq_pad % bq:
+        bq -= _LANE
+    n_q_blocks = tq_pad // bq
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_btc, scale=scale, t_kv=tk_pad, block_q=bq,
+            causal=False, d_head=d_head, hp=hp, n_q_blocks=n_q_blocks,
+            has_bias=True,
+        ),
+        grid=(b, n_heads // hp, n_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, hp_cols), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, hp_cols), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, hp_cols), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hp_cols), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hp_cols), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * hp, bq), lambda b, h, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tk_pad), lambda b, h, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hp_cols), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, hp_cols), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, hp_cols), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq_pad, c), qp.dtype),
+            jax.ShapeDtypeStruct((b, tk_pad, c), kp.dtype),
+            jax.ShapeDtypeStruct((b, tk_pad, c), vp.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk_pad, hp_cols), jnp.float32),
+            pltpu.VMEM((tk_pad, hp_cols), jnp.float32),
+        ],
+        interpret=not on_tpu(),
+    )(qp, kp, vp, op, dop, lsep, bias)
     return dq, dk, dv
 
 
