@@ -15,6 +15,7 @@ static arguments through `jax.jit`.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +100,18 @@ class WhisperConfig:
     # whisper-base bs64 label-len 64 (round 3b). Flash self still wins once
     # T is large enough that the T^2 intermediates matter.
     decoder_flash_self_min_q: int = 256
+    # same split gate for the decoder's CROSS attention (q tiny, K/V = 1500
+    # encoder frames). Kept on the kernel by default: the XLA path's
+    # [B,H,Tq,1536] probs are ~100 MB/layer, so instance overhead matters
+    # less than for self. A/B-able per config.
+    decoder_flash_cross_min_q: int = 1
+    # Sequence parallelism (opt-in, beyond the reference): mesh AXIS NAME to
+    # ring-shard the encoder's self-attention over (parallel/ring_attention).
+    # The enclosing jit must run under `jax.sharding.set_mesh(mesh)` so the
+    # axis resolves against the ambient mesh; encoder frames (padded T) must
+    # split into 128-multiple shards. Whisper's fixed 1500 frames never need
+    # this — it exists for long-context encoder variants at scale.
+    seq_parallel_axis: Optional[str] = None
     # lax.scan unroll over the stacked layers. 0 = auto: FULL unroll on TPU
     # (264->250 ms/step at whisper-base bs64 — XLA drops the scan-carry
     # dynamic-update-slice stacking and schedules across layer boundaries;

@@ -201,6 +201,7 @@ def attention(
     use_flash: bool = False,
     causal: bool = False,
     kv_len: Optional[int] = None,
+    ring_axis: Optional[str] = None,
 ):
     """SDPA on [B, T, H, Dh] (BTHD) tensors; softmax in fp32 for stability.
 
@@ -208,7 +209,16 @@ def attention(
     Pallas flash kernel runs instead — no [B, H, T, T] HBM intermediates
     (see `ops/flash_attention.py`). ``kv_len`` masks zero-padded K/V rows
     (only meaningful on the flash path; the XLA path takes explicit masks).
+    ``ring_axis``: sequence-parallel self-attention over that ambient-mesh
+    axis (`parallel/ring_attention.py`; non-causal, mask-free only).
     """
+    if ring_axis is not None and mask is None and not causal:
+        from neuspeech1_tpu.parallel.ring_attention import (
+            ring_flash_attention)
+
+        mesh = jax.sharding.get_abstract_mesh()
+        return ring_flash_attention(q, k, v, mesh, ring_axis,
+                                    kv_valid_len=kv_len)
     if use_flash:
         from neuspeech1_tpu.ops.flash_attention import flash_attention_bthd
 
@@ -355,6 +365,7 @@ def mha(
     use_flash: bool = False,
     causal: bool = False,
     kv_len: Optional[int] = None,
+    ring_axis: Optional[str] = None,
 ):
     """Multi-head attention with optional cross-attention and KV cache.
 
@@ -526,7 +537,7 @@ def mha(
                                        lora)
             new_cache = None
     out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal,
-                    kv_len=kv_len)
+                    kv_len=kv_len, ring_axis=ring_axis)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
@@ -710,14 +721,14 @@ def _remat_policy(config: WhisperConfig):
 
 
 def _encoder_layer(h, layer_p, n_heads, lora=None, use_flash=False,
-                   kv_len=None):
+                   kv_len=None, ring_axis=None):
     from jax.ad_checkpoint import checkpoint_name
 
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
     x, _ = mha(x, layer_p["self_attn"], n_heads,
                lora=(lora or {}).get("self_attn"), use_flash=use_flash,
-               kv_len=kv_len)
+               kv_len=kv_len, ring_axis=ring_axis)
     x = checkpoint_name(x, "attn_out")  # saveable under remat_policy='attn'
     h = res + x
     res = h
@@ -767,7 +778,8 @@ def encoder_apply(
         h = jnp.where(mask, h / keep, 0.0)
 
     enc_lora = (lora or {}).get("encoder", {}).get("layers")
-    use_flash = resolve_flash(config, h.shape[1])
+    ring_axis = config.seq_parallel_axis
+    use_flash = ring_axis is None and resolve_flash(config, h.shape[1])
 
     # Run the layer stack at T padded to the flash q-block multiple so the
     # kernels see already-aligned tensors: the per-call jnp.pad/slice ops
@@ -775,9 +787,19 @@ def encoder_apply(
     # whisper-base bs64 — round-2 device profile) become no-ops and vanish.
     # Padded rows carry garbage-but-finite values; K/V padding is masked
     # inside the kernel via kv_len, and the rows are sliced off at the end.
+    # Under sequence parallelism the pad quantum is instead n_shards x 128
+    # lanes (ring_flash_attention's shard contract).
     kv_len = None
     t_valid = h.shape[1]
-    if use_flash:
+    if ring_axis is not None:
+        from neuspeech1_tpu.ops.flash_attention import _LANE, _round_up
+
+        n_sp = jax.sharding.get_abstract_mesh().shape[ring_axis]
+        t_pad = _round_up(t_valid, n_sp * _LANE)
+        if t_pad != t_valid:
+            h = jnp.pad(h, ((0, 0), (0, t_pad - t_valid), (0, 0)))
+            kv_len = t_valid
+    elif use_flash:
         from neuspeech1_tpu.ops.flash_attention import btc_block_q, _round_up
 
         t_pad = _round_up(t_valid, btc_block_q(t_valid))
@@ -786,7 +808,7 @@ def encoder_apply(
             kv_len = t_valid
 
     layer_fn = functools.partial(_encoder_layer, use_flash=use_flash,
-                                 kv_len=kv_len)
+                                 kv_len=kv_len, ring_axis=ring_axis)
     if config.remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(2,), policy=_remat_policy(config)
@@ -815,7 +837,8 @@ def encoder_apply(
 
 def _decoder_layer(h, layer_p, enc_out, self_mask, n_heads, lora=None,
                    self_cache=None, cross_cache=None, cache_index=None,
-                   use_flash=False, cross_kv_len=None, use_flash_self=None):
+                   use_flash=False, cross_kv_len=None, use_flash_self=None,
+                   use_flash_cross=None):
     lora = lora or {}
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
@@ -834,7 +857,8 @@ def _decoder_layer(h, layer_p, enc_out, self_mask, n_heads, lora=None,
     h = res + x
     res = h
     x = layer_norm(h, layer_p["cross_attn_ln"])
-    flash_cross = use_flash and cross_cache is None
+    flash_cross = (use_flash if use_flash_cross is None else use_flash_cross) \
+        and cross_cache is None
     x, new_cross = mha(
         x, layer_p["cross_attn"], n_heads, kv_source=enc_out,
         lora=lora.get("cross_attn"), cache=cross_cache,
@@ -891,9 +915,11 @@ def decoder_apply(
         and resolve_flash(config, t) and t >= config.decoder_flash_min_q
     use_flash_self = use_flash and t >= getattr(
         config, "decoder_flash_self_min_q", 256)
+    use_flash_cross = use_flash and t >= getattr(
+        config, "decoder_flash_cross_min_q", 1)
     kv_len = None
     if enc_valid_len is not None and enc_valid_len != enc_out.shape[1]:
-        if use_flash:
+        if use_flash_cross:
             kv_len = enc_valid_len
         else:
             enc_out = enc_out[:, :enc_valid_len]
@@ -905,6 +931,7 @@ def decoder_apply(
                     carry, layer_p, enc_out, self_mask, config.decoder_heads,
                     use_flash=use_flash, cross_kv_len=kv_len,
                     use_flash_self=use_flash_self,
+                    use_flash_cross=use_flash_cross,
                 )
                 return out, None
             h, _ = lax.scan(body, h, dec["layers"], unroll=_scan_unroll(config))
@@ -915,6 +942,7 @@ def decoder_apply(
                     carry, layer_p, enc_out, self_mask, config.decoder_heads,
                     lora=layer_l, use_flash=use_flash, cross_kv_len=kv_len,
                     use_flash_self=use_flash_self,
+                    use_flash_cross=use_flash_cross,
                 )
                 return out, None
             h, _ = lax.scan(body, h, (dec["layers"], dec_lora), unroll=_scan_unroll(config))

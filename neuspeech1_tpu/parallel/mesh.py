@@ -37,8 +37,10 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch dim sharded over data (and fsdp) axes; rest replicated."""
-    return NamedSharding(mesh, P(("data", "fsdp")))
+    """Batch dim sharded over data (and fsdp) axes; rest replicated.
+    Axes the mesh doesn't have are skipped (e.g. a ('data','seq') mesh)."""
+    axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes if axes else None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -61,9 +61,25 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
+def restrict_spec(spec: P, axis_names) -> P:
+    """Drop axis names the mesh doesn't have (e.g. a ('data','seq') mesh
+    has no 'tensor'/'fsdp' — those dims fall back to replicated)."""
+    def keep(e):
+        if e is None:
+            return None
+        if isinstance(e, (tuple, list)):
+            kept = tuple(a for a in e if a in axis_names)
+            return kept if kept else None
+        return e if e in axis_names else None
+
+    return P(*(keep(e) for e in spec))
+
+
 def param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    names = set(mesh.axis_names)
     return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), param_specs(params),
+        lambda spec: NamedSharding(mesh, restrict_spec(spec, names)),
+        param_specs(params),
         is_leaf=lambda x: isinstance(x, P),
     )
 

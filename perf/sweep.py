@@ -95,6 +95,8 @@ VARIANTS = {
     "everything_unfold": (lambda: WhisperConfig(
         remat=True, remat_policy="everything"), lambda: _conv("unfold")),
     "noremat": (lambda: WhisperConfig(remat=False), None),
+    "noremat_xcross": (lambda: WhisperConfig(
+        remat=False, decoder_flash_cross_min_q=256), None),
     "noremat_nofold": (lambda: WhisperConfig(remat=False), None),
     "flash_mlp": (lambda: WhisperConfig(remat=True, remat_policy="flash_mlp"),
                   None),

@@ -85,3 +85,43 @@ def test_ring_shard_constraints():
     q, k, v = _qkv(t=500)  # 500/4 = 125: not a lane multiple
     with pytest.raises(ValueError):
         ring_flash_attention(q, k, v, mesh, "seq")
+
+
+def test_encoder_seq_parallel_matches_plain():
+    """Full model forward + grads with `seq_parallel_axis` routing the
+    encoder self-attention through the ring (ambient mesh) vs the plain
+    XLA path. T=256 over 2 'seq' shards (128-lane quantum), 1024-sample
+    inputs; padding/kv_len handled by encoder_apply's SP pad quantum."""
+    import dataclasses
+
+    from neuspeech1_tpu.config import StemConfig
+    from neuspeech1_tpu.models import whisper as jw
+    from neuspeech1_tpu.models.init import init_params
+
+    from tests.test_train import mini_cfg
+
+    cfg = mini_cfg(d_model=128, encoder_heads=2, decoder_heads=2,
+                   max_source_positions=256, max_target_positions=16)
+    cfg_sp = dataclasses.replace(cfg, seq_parallel_axis="seq")
+    stem = StemConfig("base", in_channels=6)
+    params = init_params(jax.random.key(0), cfg, stem)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 6, 1024)).astype(np.float32))
+    dec_in = jnp.asarray(rng.integers(0, 60, (2, 8)).astype(np.int32))
+
+    def loss(params, cfg):
+        out = jw.forward(params, feats, dec_in, cfg, stem)
+        return jnp.sum(out.astype(jnp.float32) ** 2) / out.size
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params, cfg)
+
+    mesh = _seq_mesh(2)
+    with jax.sharding.set_mesh(mesh):
+        sp_l, sp_g = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, cfg_sp)))(params)
+    np.testing.assert_allclose(float(sp_l), float(ref_l), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(ref_g)
+    b = jax.tree_util.tree_leaves(sp_g)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=2e-4, atol=2e-4)
