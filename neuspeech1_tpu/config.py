@@ -112,6 +112,17 @@ class WhisperConfig:
     # split into 128-multiple shards. Whisper's fixed 1500 frames never need
     # this — it exists for long-context encoder variants at scale.
     seq_parallel_axis: Optional[str] = None
+    # Pipeline parallelism (opt-in, beyond the reference): mesh AXIS NAME to
+    # GPipe-shard the encoder layer stack over (parallel/pipeline) — each
+    # device holds encoder_layers/P consecutive layers and microbatches hop
+    # the ring via ppermute. Requires the ambient mesh (set_mesh) and
+    # encoder_layers % P == 0; numerically identical to the plain scan.
+    # Inside the pipeline stages attention runs on the XLA path (a stage is
+    # a manual shard_map body; the flash kernel's GSPMD wrapper stays out).
+    pipeline_axis: Optional[str] = None
+    # microbatches per pipeline flush; 0 = one per stage (minimum that fills
+    # the pipe). Bubble fraction is (P-1)/(M+P-1) — raise M to amortize.
+    pipeline_microbatches: int = 0
     # lax.scan unroll over the stacked layers. 0 = auto: FULL unroll on TPU
     # (264->250 ms/step at whisper-base bs64 — XLA drops the scan-carry
     # dynamic-update-slice stacking and schedules across layer boundaries;

@@ -779,7 +779,9 @@ def encoder_apply(
 
     enc_lora = (lora or {}).get("encoder", {}).get("layers")
     ring_axis = config.seq_parallel_axis
-    use_flash = ring_axis is None and resolve_flash(config, h.shape[1])
+    pipe_axis = config.pipeline_axis
+    use_flash = (ring_axis is None and pipe_axis is None
+                 and resolve_flash(config, h.shape[1]))
 
     # Run the layer stack at T padded to the flash q-block multiple so the
     # kernels see already-aligned tensors: the per-call jnp.pad/slice ops
@@ -814,7 +816,30 @@ def encoder_apply(
             layer_fn, static_argnums=(2,), policy=_remat_policy(config)
         )
 
-    if enc_lora is None:
+    if pipe_axis is not None:
+        # GPipe over the stacked layers (parallel/pipeline): each device
+        # holds L/P layers; microbatches ride the ppermute ring.
+        from neuspeech1_tpu.parallel.pipeline import pipeline_scan
+
+        mesh = jax.sharding.get_abstract_mesh()
+        batch_axes = tuple(
+            a for a in ("data", "fsdp")
+            if a in mesh.axis_names and a != pipe_axis
+        ) or None
+        if enc_lora is None:
+            xs = enc["layers"]
+            def pbody(carry, layer_p):
+                return layer_fn(carry, layer_p, config.encoder_heads)
+        else:
+            xs = (enc["layers"], enc_lora)
+            def pbody(carry, xs_):
+                return layer_fn(carry, xs_[0], config.encoder_heads, xs_[1])
+        h = pipeline_scan(
+            pbody, xs, h, mesh, pipe_axis,
+            num_microbatches=config.pipeline_microbatches or None,
+            batch_axes=batch_axes,
+        )
+    elif enc_lora is None:
         def body(carry, layer_p):
             return layer_fn(carry, layer_p, config.encoder_heads), None
         h, _ = lax.scan(body, h, enc["layers"], unroll=_scan_unroll(config))
