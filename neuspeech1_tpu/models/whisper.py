@@ -936,7 +936,9 @@ def decoder_apply(
 
     dec_lora = (lora or {}).get("decoder", {}).get("layers")
     enc_out = enc_out.astype(dtype)
-    use_flash = cache is None and resolve_flash(config, enc_out.shape[1]) \
+    pipe_axis = config.pipeline_axis if cache is None else None
+    use_flash = cache is None and pipe_axis is None \
+        and resolve_flash(config, enc_out.shape[1]) \
         and resolve_flash(config, t) and t >= config.decoder_flash_min_q
     use_flash_self = use_flash and t >= getattr(
         config, "decoder_flash_self_min_q", 256)
@@ -949,7 +951,38 @@ def decoder_apply(
         else:
             enc_out = enc_out[:, :enc_valid_len]
 
-    if cache is None:
+    if cache is None and pipe_axis is not None:
+        # GPipe over the decoder stack: enc_out rides as a per-sample
+        # scheduled const (each stage indexes the microbatch it holds),
+        # the causal mask as a replicated const (parallel/pipeline).
+        from neuspeech1_tpu.parallel.pipeline import pipeline_scan
+
+        mesh = jax.sharding.get_abstract_mesh()
+        batch_axes = tuple(
+            a for a in ("data", "fsdp")
+            if a in mesh.axis_names and a != pipe_axis
+        ) or None
+        if dec_lora is None:
+            xs = dec["layers"]
+            def pbody(carry, layer_p, enc_mb, mask):
+                out, _ = _decoder_layer(
+                    carry, layer_p, enc_mb, mask, config.decoder_heads)
+                return out
+        else:
+            xs = (dec["layers"], dec_lora)
+            def pbody(carry, xs_, enc_mb, mask):
+                out, _ = _decoder_layer(
+                    carry, xs_[0], enc_mb, mask, config.decoder_heads,
+                    lora=xs_[1])
+                return out
+        h = pipeline_scan(
+            pbody, xs, h, mesh, pipe_axis,
+            num_microbatches=config.pipeline_microbatches or None,
+            batch_axes=batch_axes, consts=(self_mask,),
+            sample_consts=(enc_out,),
+        )
+        new_cache = None
+    elif cache is None:
         if dec_lora is None:
             def body(carry, layer_p):
                 out, _ = _decoder_layer(

@@ -68,17 +68,23 @@ def pipeline_scan(
     num_microbatches: Optional[int] = None,
     batch_axes=None,
     consts=(),
+    sample_consts=(),
 ):
     """Run ``lax.scan(body, h, xs)``'s carry pipeline-parallel over a mesh axis.
 
-    body(carry, xs_slice, *consts) -> carry — one layer (same contract as a
-    scan body that returns no per-step output). ``xs``: pytree stacked on a
-    leading layer dim L with L % mesh.shape[pipe_axis] == 0 (each stage owns
-    L/P consecutive layers). ``h``: [B, ...] with B % num_microbatches == 0.
-    ``batch_axes``: mesh axis (or tuple) the batch dim is sharded over —
-    composes DP x PP. ``consts``: pytree of stage-invariant arrays handed to
-    every body call (replicated across the pipe axis), e.g. a decoder's
-    encoder states. Differentiable; numerically identical to the plain scan.
+    body(carry, xs_slice, *sample_consts_mb, *consts) -> carry — one layer
+    (same contract as a scan body that returns no per-step output). ``xs``:
+    pytree stacked on a leading layer dim L with L % mesh.shape[pipe_axis]
+    == 0 (each stage owns L/P consecutive layers). ``h``: [B, ...] with
+    B % num_microbatches == 0. ``batch_axes``: mesh axis (or tuple) the
+    batch dim is sharded over — composes DP x PP. ``consts``: pytree of
+    stage-invariant arrays handed to every body call (replicated across the
+    pipe axis), e.g. an attention mask. ``sample_consts``: pytree of
+    PER-SAMPLE arrays ([B, ...], e.g. a decoder's encoder states) — every
+    stage receives the slice for the microbatch it is processing that tick
+    (the schedule is deterministic: stage s holds microbatch t - s), so
+    they never ride the ring. Differentiable; numerically identical to the
+    plain scan.
     """
     n_stages = mesh.shape[pipe_axis]
     n_layers = _leading(xs)
@@ -89,30 +95,50 @@ def pipeline_scan(
     b = h.shape[0]
     if b % m:
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    for leaf in jax.tree_util.tree_leaves(sample_consts):
+        if leaf.shape[0] != b:
+            raise ValueError(
+                f"sample_consts leaf batch {leaf.shape[0]} != carry batch {b}")
     if n_stages == 1:  # degenerate mesh: plain scan, no ring
-        carry, _ = lax.scan(lambda c, xs_: (body(c, xs_, *consts), None), h, xs)
+        carry, _ = lax.scan(
+            lambda c, xs_: (body(c, xs_, *sample_consts, *consts), None),
+            h, xs)
         return carry
 
-    hm = h.reshape(m, b // m, *h.shape[1:])
-    batch_spec = P(None, batch_axes, *([None] * (h.ndim - 1)))
+    def _mb(leaf):
+        return leaf.reshape(m, leaf.shape[0] // m, *leaf.shape[1:])
+
+    def _mb_spec(leaf):
+        return P(None, batch_axes, *([None] * (leaf.ndim - 1)))
+
+    hm = _mb(h)
+    batch_spec = _mb_spec(h)
     layer_spec = jax.tree_util.tree_map(
         lambda leaf: P(pipe_axis, *([None] * (leaf.ndim - 1))), xs)
     const_spec = jax.tree_util.tree_map(
         lambda leaf: P(*([None] * leaf.ndim)), consts)
+    scm = jax.tree_util.tree_map(_mb, sample_consts)
+    sc_spec = jax.tree_util.tree_map(_mb_spec, sample_consts)
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def spmd(xs_loc, hm_loc, consts_loc):
+    def spmd(xs_loc, hm_loc, consts_loc, scm_loc):
         idx = lax.axis_index(pipe_axis)
         state = jnp.zeros(hm_loc.shape[1:], hm_loc.dtype)
         outputs = jnp.zeros(hm_loc.shape, hm_loc.dtype)
-
-        def stage(carry, layer_xs):
-            return body(carry, layer_xs, *consts_loc), None
 
         def tick(carry, t):
             state, outputs = carry
             inj = lax.dynamic_index_in_dim(
                 hm_loc, jnp.clip(t, 0, m - 1), 0, keepdims=False)
+            # this stage is processing microbatch t - idx this tick
+            mb_id = jnp.clip(t - idx, 0, m - 1)
+            sc_t = jax.tree_util.tree_map(
+                lambda leaf: lax.dynamic_index_in_dim(
+                    leaf, mb_id, 0, keepdims=False), scm_loc)
+
+            def stage(carry, layer_xs):
+                return body(carry, layer_xs, *sc_t, *consts_loc), None
+
             y = jnp.where(idx == 0, inj, state)
             y, _ = lax.scan(stage, y, xs_loc)
             outputs = lax.dynamic_update_index_in_dim(
@@ -131,8 +157,8 @@ def pipeline_scan(
     inner = shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(layer_spec, batch_spec, const_spec),
+        in_specs=(layer_spec, batch_spec, const_spec, sc_spec),
         out_specs=batch_spec,
         check_vma=False,
     )
-    return inner(xs, hm, consts).reshape(h.shape)
+    return inner(xs, hm, consts, scm).reshape(h.shape)

@@ -82,16 +82,17 @@ def test_pipeline_scan_constraints():
         pipeline_scan(_body, (ws, bs), x, _mesh(), "pipe", consts=(c,))
 
 
-def test_encoder_pipeline_matches_plain():
-    """Full model forward + grads with `pipeline_axis` GPipe-sharding the
-    encoder stack (4 layers over 4 stages, DP x PP mesh) vs the plain scan."""
+def test_model_pipeline_matches_plain():
+    """Full model forward + grads with `pipeline_axis` GPipe-sharding BOTH
+    stacks (4 layers over 4 stages, DP x PP mesh; the decoder's enc_out
+    rides as a scheduled per-sample const) vs the plain scans."""
     from neuspeech1_tpu.config import StemConfig
     from neuspeech1_tpu.models import whisper as jw
     from neuspeech1_tpu.models.init import init_params
 
     from tests.test_train import mini_cfg
 
-    cfg = mini_cfg(encoder_layers=4)
+    cfg = mini_cfg(encoder_layers=4, decoder_layers=4)
     cfg_pp = dataclasses.replace(cfg, pipeline_axis="pipe")
     stem = StemConfig("base", in_channels=6)
     params = init_params(jax.random.key(0), cfg, stem)
