@@ -149,9 +149,22 @@ def conv1d_cl(x, p: Params, stride: int = 1, padding: int = 1):
     Default lowering is XLA's native NHC conv — measured FASTER than the
     'unfold' alternative (K strided slices + one [K*C, O] matmul) at the
     whisper-base EEG stem geometry (+23 ms/step for unfold; BASELINE.md
-    round-2 rejects). 'unfold' stays selectable for other geometries."""
+    round-2 rejects). 'matmul' is the concat-free variant — K shifted
+    einsums summed in place (no [B, T, K*C] materialization; the slices
+    fuse into the dots). All stay selectable per geometry."""
     w = p["w"].astype(x.dtype)  # [O, I, K]
     b = p["b"].astype(x.dtype)
+    if _CONV_CL_IMPL == "matmul":
+        o, i, k = w.shape
+        t_out = (x.shape[1] + 2 * padding - k) // stride + 1
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+        y = None
+        for j in range(k):
+            xs = lax.slice_in_dim(
+                xp, j, j + (t_out - 1) * stride + 1, stride, axis=1)
+            term = jnp.einsum("btc,co->bto", xs, w[:, :, j].T)
+            y = term if y is None else y + term
+        return y + b
     if _CONV_CL_IMPL == "unfold":
         o, i, k = w.shape
         t_out = (x.shape[1] + 2 * padding - k) // stride + 1

@@ -8,8 +8,9 @@ import pytest
 from neuspeech1_tpu.models import whisper as jw
 
 
+@pytest.mark.parametrize("impl", ["unfold", "matmul"])
 @pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (2, 2, 5)])
-def test_unfold_matches_native_conv(stride, padding, k):
+def test_alt_lowering_matches_native_conv(impl, stride, padding, k):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 40, 6)).astype(np.float32))
     p = {
@@ -18,7 +19,7 @@ def test_unfold_matches_native_conv(stride, padding, k):
     }
     jw.set_conv_cl_impl("conv")
     ref = jw.conv1d_cl(x, p, stride=stride, padding=padding)
-    jw.set_conv_cl_impl("unfold")
+    jw.set_conv_cl_impl(impl)
     try:
         got = jw.conv1d_cl(x, p, stride=stride, padding=padding)
     finally:
@@ -28,7 +29,8 @@ def test_unfold_matches_native_conv(stride, padding, k):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_unfold_gradients_match():
+@pytest.mark.parametrize("impl", ["unfold", "matmul"])
+def test_alt_lowering_gradients_match(impl):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 20, 4)).astype(np.float32))
     p = {
@@ -44,6 +46,6 @@ def test_unfold_gradients_match():
             jw.set_conv_cl_impl("conv")
 
     g_ref = jax.grad(lambda w: loss(w, "conv"))(p["w"])
-    g_new = jax.grad(lambda w: loss(w, "unfold"))(p["w"])
+    g_new = jax.grad(lambda w: loss(w, impl))(p["w"])
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
