@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("top_k", int, 0, "sampling top-k (0 = off)")
     add_arg("top_p", float, 1.0, "sampling top-p (1.0 = off)")
     add_arg("sample_seed", int, 0, "PRNG seed for --do_sample")
+    add_arg("penalty_alpha", float, 0.0,
+            "contrastive search degeneration penalty (reference "
+            "contrastiveSearch strategy: alpha=1 with --top_k=5; active "
+            "when > 0 and top_k > 1, HF mode-selection semantics)")
     add_arg("decode_buckets", str, "auto",
             "length-bucketed decode: 'auto' (64,128,256 under a larger "
             "max_length), 'off', or comma-separated lengths")
@@ -185,7 +189,9 @@ def main(argv=None):
     gen = GenerationConfig.for_model(
         config,
         max_length=prompt.shape[1] + args.max_new_tokens,
-        num_beams=1 if args.do_sample else args.num_beams,
+        num_beams=1 if (args.do_sample or args.penalty_alpha > 0)
+        else args.num_beams,
+        penalty_alpha=args.penalty_alpha,
         repetition_penalty=args.repetition_penalty,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
         timestamps=args.timestamps,  # whisper timestamp grammar
@@ -262,7 +268,14 @@ def main(argv=None):
         perplexity_model=args.perplexity_model,
     )
     base = os.path.splitext(os.path.basename(args.test_data))[0]
-    tag = "tf" if args.teacher_forcing else f"beam{args.num_beams}"
+    if args.teacher_forcing:
+        tag = "tf"
+    elif args.penalty_alpha > 0 and args.top_k > 1:
+        tag = f"contrastive{args.top_k}"
+    elif args.do_sample:
+        tag = "sample"
+    else:
+        tag = f"beam{gen.num_beams}"
     if args.noise:
         tag += "_noise"
     if args.random_choice:

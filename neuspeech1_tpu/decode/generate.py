@@ -53,6 +53,10 @@ class GenerationConfig:
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
+    # contrastive search (reference `utils/process_str.py:64-65`:
+    # penalty_alpha=1, top_k=5). Active — HF mode-selection semantics —
+    # when penalty_alpha > 0 and top_k > 1 and not do_sample.
+    penalty_alpha: float = 0.0
     # beam search exact top-C prefilter: every live processor
     # (suppress/begin-suppress/min-new/rp>=1/ngram) only LOWERS scores, so
     # the post-processor top-2K is a subset of the raw-logprob top-C for
@@ -464,6 +468,116 @@ def sample_decode(
     return tokens
 
 
+@partial(jax.jit, static_argnames=("config", "stem", "gen"))
+def contrastive_search(
+    params: Params,
+    features,
+    prompt_ids,
+    config: WhisperConfig,
+    stem: StemConfig,
+    gen: GenerationConfig,
+    lora: Optional[Params] = None,
+    bias_spec=None,
+):
+    """HF-semantics contrastive search (reference `utils/process_str.py:64-65`
+    calls ``model.generate(penalty_alpha=1, top_k=5)``).
+
+    Per step (HF ``_contrastive_search`` / ``_ranking_fast``): process the
+    selected hypothesis' logits, softmax, take the top-``top_k`` candidate
+    tokens, run ONE batched decoder step on all B*k candidates (the cross
+    cache stays at B — candidates share their utterance's encoder states,
+    same folding beam search uses), score each candidate
+    ``(1-alpha)*p - alpha*max_cos(hidden, context_hiddens)`` and keep the
+    argmax; the winner's self-cache row is broadcast back to all k slots
+    (same gather machinery as the beam reorder). Fixed shapes throughout:
+    the context-hidden buffer is [B, max_length, d] with positions
+    >= cur_len masked out of the cosine max.
+
+    Returns tokens [B, max_length].
+    """
+    B = features.shape[0]
+    k = gen.top_k
+    P = prompt_ids.shape[1]
+    L = gen.max_length
+    alpha = jnp.float32(gen.penalty_alpha)
+
+    enc = jw.encoder_apply(params, features, config, stem, lora=lora)
+    cache = jw.init_cache(params, enc, config, max_len=L,
+                          int8_cross=gen.int8_kv_cache, self_batch=B * k)
+
+    tokens = jnp.full((B, L), gen.pad_id, jnp.int32)
+    tokens = lax.dynamic_update_slice(
+        tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    # prompt pass at B*k rows (all k slots identical, like beam's warmup)
+    prompt_bk = jnp.repeat(prompt_ids.astype(jnp.int32), k, axis=0)
+    logits, cache, hid = jw.decoder_apply(
+        params, prompt_bk, enc, config, lora=lora, cache=cache,
+        cache_index=0, return_hidden=True,
+    )
+    V = logits.shape[-1]
+    D = hid.shape[-1]
+    last = logits.reshape(B, k, P, V)[:, 0, -1]          # [B, V]
+    hbuf = jnp.zeros((B, L, D), hid.dtype)
+    hbuf = lax.dynamic_update_slice(
+        hbuf, hid.reshape(B, k, P, D)[:, 0], (0, 0, 0))
+
+    use_seen = gen.repetition_penalty != 1.0
+    seen0 = (lp.seen_from_tokens(tokens[:, :P], jnp.asarray(P), V)
+             if use_seen else jnp.zeros((B, 1), bool))
+
+    def cond(st):
+        _, _, _, _, cur_len, finished, _ = st
+        return (cur_len < L) & ~jnp.all(finished)
+
+    def body(st):
+        tokens, cache, last, hbuf, cur_len, finished, seen = st
+        scores = _process_logits(last, tokens, cur_len, gen, bias_spec,
+                                 P, seen=seen if use_seen else None)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        top_probs, top_ids = lax.top_k(probs, k)          # [B, k]
+
+        cand = top_ids.reshape(B * k, 1).astype(jnp.int32)
+        logits_k, cache2, hid_k = jw.decoder_apply(
+            params, cand, enc, config, lora=lora, cache=cache,
+            cache_index=cur_len, return_hidden=True,
+        )
+        nh = hid_k.reshape(B, k, D).astype(jnp.float32)
+        ctx = hbuf.astype(jnp.float32)                    # [B, L, D]
+        nh = nh / jnp.linalg.norm(nh, axis=-1, keepdims=True)
+        ctx = ctx / jnp.linalg.norm(ctx, axis=-1, keepdims=True)
+        cos = jnp.einsum("bld,bkd->bkl", ctx, nh)         # [B, k, L]
+        valid = (jnp.arange(L) < cur_len)[None, None, :]
+        degen = jnp.max(jnp.where(valid, cos, -jnp.inf), axis=-1)  # [B, k]
+        cscore = (1.0 - alpha) * top_probs - alpha * degen
+        sel = jnp.argmax(cscore, axis=-1)                 # [B]
+
+        rows = jnp.arange(B)
+        nxt = top_ids[rows, sel].astype(jnp.int32)
+        nxt = jnp.where(finished, gen.pad_id, nxt)
+        last = logits_k.reshape(B, k, 1, V)[rows, sel, 0]
+        hid_sel = hid_k.reshape(B, k, D)[rows, sel]
+        tokens = jax.vmap(
+            lambda row, t, i: lax.dynamic_update_slice(row, t[None], (i,))
+        )(tokens, nxt, jnp.full((B,), cur_len))
+        hbuf = jax.vmap(
+            lambda row, v, i: lax.dynamic_update_slice(row, v[None], (i, 0))
+        )(hbuf, hid_sel.astype(hbuf.dtype), jnp.full((B,), cur_len))
+        finished = finished | (nxt == gen.eos_id)
+        if use_seen:
+            seen = lp.update_seen(seen, nxt)
+        # winner's self-cache row -> all k slots (beam-gather with a
+        # constant per-batch index)
+        cache2["self"] = _gather_beams(
+            cache2["self"], jnp.tile(sel[:, None], (1, k)), B, k)
+        return (tokens, cache2, last, hbuf, cur_len + 1, finished, seen)
+
+    st = (tokens, cache, last, hbuf, jnp.asarray(P, jnp.int32),
+          jnp.zeros((B,), bool), seen0)
+    st = lax.while_loop(cond, body, st)
+    return st[0]
+
+
 def teacher_forcing_predict(params, features, decoder_input_ids, config, stem,
                             lora=None):
     """Argmax under a gold prefix (reference `evaluation.py:387-404`)."""
@@ -700,7 +814,14 @@ def generate(
     bias_spec=None,
     rng=None,
 ):
-    """Dispatch sampling vs greedy vs beam; returns tokens [B, max_length]."""
+    """Dispatch contrastive/sampling/greedy/beam; returns tokens
+    [B, max_length]. Mode selection follows HF: contrastive when
+    ``penalty_alpha > 0 and top_k > 1`` without sampling."""
+    if gen.penalty_alpha > 0 and gen.top_k > 1 and not gen.do_sample:
+        return contrastive_search(
+            params, features, prompt_ids, config, stem, gen, lora=lora,
+            bias_spec=bias_spec,
+        )
     if gen.do_sample:
         if rng is None:
             rng = jax.random.key(0)

@@ -918,8 +918,13 @@ def decoder_apply(
     cache: Optional[Params] = None,
     cache_index=None,
     enc_valid_len: Optional[int] = None,
+    return_hidden: bool = False,
 ):
     """Token ids [B, T] -> logits [B, T, vocab].
+
+    ``return_hidden`` (cached decode only): also return the final-LN
+    hidden states [B, T, d] — HF's decoder ``last_hidden_state``, needed
+    by contrastive search's degeneration penalty.
 
     Without cache: full causal self-attention (training / teacher forcing).
     With cache: incremental decode — ``cache`` is produced by `init_cache`,
@@ -1047,6 +1052,8 @@ def decoder_apply(
     logits = jnp.dot(h, embed.T.astype(dtype))
     if cache is None:
         return logits
+    if return_hidden:
+        return logits, new_cache, h
     return logits, new_cache
 
 

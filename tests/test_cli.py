@@ -313,3 +313,22 @@ def test_evaluate_sampling_strategies(cli_run, tmp_path_factory):
     d2 = str(tmp_path_factory.mktemp("samp2"))
     m2 = evaluate(common + [f"--output_dir={d2}"])
     assert m1["wer"] == m2["wer"]  # same seed -> same draws
+
+
+def test_evaluate_contrastive_cli(cli_run, tmp_path_factory):
+    """--penalty_alpha (reference contrastiveSearch strategy,
+    process_str.py:64-65): runs end to end, deterministic, and tags the
+    result files 'contrastive<k>'."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+
+    corpus, out = cli_run
+    d = str(tmp_path_factory.mktemp("contrastive"))
+    m = evaluate([
+        f"--test_data={corpus}/test.jsonl", "--base_model=random",
+        "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=2",
+        "--max_new_tokens=6", "--penalty_alpha=1.0", "--top_k=5",
+        "--repetition_penalty=1.0", "--no_repeat_ngram_size=0",
+        f"--output_dir={d}",
+    ])
+    assert "wer" in m
+    assert os.path.exists(f"{d}/test_contrastive5.jsonl")

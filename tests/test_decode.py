@@ -657,3 +657,76 @@ def test_bucketed_beam_matches_single_bucket():
     seq_b, sc_b = beam_search(params, feats, prompt, cfg, stem, bucketed)
     np.testing.assert_array_equal(np.asarray(seq_p), np.asarray(seq_b))
     np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_b), rtol=1e-6)
+
+
+def _torch_contrastive_gold(m, feats, prompt, L, alpha, k,
+                            eos_id, pad_id):
+    """Independent torch reimplementation of HF contrastive search
+    (`GenerationMixin._contrastive_search` / `_ranking_fast` as published;
+    transformers 4.57 moved the torch path to an unreachable hub repo —
+    the same algorithm survives in-package at tf_utils.py:2684).
+
+    Full-prefix recompute per step (exact for a causal decoder) instead of
+    KV caches, so no Cache-format coupling: per step, process the selected
+    hypothesis' logits, softmax, top-k candidates, run the decoder on every
+    candidate-extended prefix, score (1-alpha)*p - alpha*max_cos(candidate
+    hidden, context hiddens), keep the argmax."""
+    B = feats.shape[0]
+    with torch.no_grad():
+        enc = m.model.encoder(torch.tensor(feats)).last_hidden_state
+        tokens = torch.tensor(prompt, dtype=torch.long)
+        out = m.model.decoder(input_ids=tokens, encoder_hidden_states=enc)
+        last = m.proj_out(out.last_hidden_state[:, -1])
+        finished = torch.zeros(B, dtype=torch.bool)
+        enc_k = enc.repeat_interleave(k, dim=0)
+        while tokens.shape[1] < L and not bool(finished.all()):
+            probs = last.float().softmax(-1)
+            top_p, top_i = probs.topk(k)                       # [B, k]
+            full = torch.cat(
+                [tokens.repeat_interleave(k, dim=0),
+                 top_i.reshape(B * k, 1)], dim=1)
+            h = m.model.decoder(
+                input_ids=full, encoder_hidden_states=enc_k
+            ).last_hidden_state                                # [B*k, t+1, D]
+            D = h.shape[-1]
+            nh = h[:, -1].view(B, k, D).float()
+            ctx = h[:, :-1].view(B, k, -1, D)[:, 0].float()    # [B, t, D]
+            nh_n = nh / nh.norm(dim=-1, keepdim=True)
+            ctx_n = ctx / ctx.norm(dim=-1, keepdim=True)
+            degen = torch.einsum("btd,bkd->bkt", ctx_n, nh_n).max(-1).values
+            score = (1.0 - alpha) * top_p - alpha * degen
+            sel = score.argmax(-1)                             # [B]
+            rows = torch.arange(B)
+            nxt = top_i[rows, sel]
+            nxt = torch.where(finished, torch.full_like(nxt, pad_id), nxt)
+            tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+            last = m.proj_out(
+                h[:, -1].view(B, k, D)[rows, sel])
+            finished = finished | (nxt == eos_id)
+    return tokens.numpy()
+
+
+def test_contrastive_search_parity(gen_pair):
+    """Contrastive search vs an independent torch gold of HF's algorithm —
+    the reference's contrastiveSearch strategy (`utils/process_str.py:64-65`
+    uses penalty_alpha=1, top_k=5). Token-exact at the reference setting
+    and at the classic alpha=0.6 (both score terms live)."""
+    from neuspeech1_tpu.decode.generate import contrastive_search, generate
+
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    stem = StemConfig("speech")
+    for alpha, k in ((1.0, 5), (0.6, 4)):
+        ref = _torch_contrastive_gold(m, feats, prompt, L, alpha, k,
+                                      cfg.eot_id, cfg.eot_id)
+        gen = GenerationConfig.for_model(cfg, max_length=L,
+                                         penalty_alpha=alpha, top_k=k)
+        ours = np.asarray(contrastive_search(params, feats, prompt, cfg,
+                                             stem, gen))
+        via_dispatch = np.asarray(generate(params, feats, prompt, cfg,
+                                           stem, gen))
+        np.testing.assert_array_equal(ours, via_dispatch)
+        for i in range(feats.shape[0]):
+            r = ref[i]
+            np.testing.assert_array_equal(
+                ours[i][: len(r)], r, err_msg=f"alpha={alpha} k={k} row {i}")
