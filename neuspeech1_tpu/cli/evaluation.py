@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
             "when > 0 and top_k > 1, HF mode-selection semantics)")
     add_arg("decode_buckets", str, "auto",
             "length-bucketed decode: 'auto' (64,128,256 under a larger "
-            "max_length), 'off', or comma-separated lengths")
+            "max_length), 'off', or comma-separated lengths "
+            "(contrastive search always runs single-bucket)")
     add_arg("teacher_forcing", bool, False, "argmax under gold prefix")
     add_arg("noise", bool, False, "replace inputs with noise (ablation)")
     add_arg("random_choice", bool, False, "random-label baseline")
@@ -86,6 +87,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # contrastive search (penalty_alpha) is a deterministic mode: the
+    # dispatcher only runs it when do_sample is False and top_k > 1 —
+    # reject contradictory combinations instead of silently decoding
+    # with a different strategy than the result files would be tagged with
+    if args.penalty_alpha > 0:
+        if args.do_sample:
+            raise SystemExit(
+                "--penalty_alpha (contrastive search) requires "
+                "--do_sample=False: contrastive is a deterministic mode "
+                "(HF mode-selection semantics); drop one of the flags")
+        if args.top_k <= 1:
+            raise SystemExit(
+                "--penalty_alpha needs --top_k > 1 (the candidate count; "
+                "the reference's contrastiveSearch uses top_k=5) — with "
+                f"top_k={args.top_k} contrastive search never activates")
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)
@@ -270,7 +286,7 @@ def main(argv=None):
     base = os.path.splitext(os.path.basename(args.test_data))[0]
     if args.teacher_forcing:
         tag = "tf"
-    elif args.penalty_alpha > 0 and args.top_k > 1:
+    elif args.penalty_alpha > 0 and args.top_k > 1 and not args.do_sample:
         tag = f"contrastive{args.top_k}"
     elif args.do_sample:
         tag = "sample"

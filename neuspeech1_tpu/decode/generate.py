@@ -67,7 +67,10 @@ class GenerationConfig:
     # enables where exactness holds (no bias spec, no timestamps, rp >= 1);
     # default 'off'.
     beam_prefilter: str = "off"
-    # length-bucketed decode (greedy/sampling/beam): ascending buffer
+    # length-bucketed decode (greedy/sampling/beam; contrastive search
+    # runs single-bucket — its [B, max_length, d] context-hidden buffer
+    # would have to grow at segment boundaries and its typical budgets are
+    # short): ascending buffer
     # lengths (each capped at max_length, the always-present final bucket).
     # Every
     # per-step tensor op in the fixed-shape decode loop scales with the
@@ -492,6 +495,10 @@ def contrastive_search(
     (same gather machinery as the beam reorder). Fixed shapes throughout:
     the context-hidden buffer is [B, max_length, d] with positions
     >= cur_len masked out of the cosine max.
+
+    ``gen.decode_buckets`` is intentionally ignored here (single-bucket):
+    bucketing would have to grow the [B, max_length, d] hidden buffer at
+    every segment boundary, and contrastive budgets are short in practice.
 
     Returns tokens [B, max_length].
     """

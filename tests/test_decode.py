@@ -730,3 +730,9 @@ def test_contrastive_search_parity(gen_pair):
             r = ref[i]
             np.testing.assert_array_equal(
                 ours[i][: len(r)], r, err_msg=f"alpha={alpha} k={k} row {i}")
+            # past the gold's early-finish length everything must be pad —
+            # a bug emitting garbage after EOS must not pass
+            np.testing.assert_array_equal(
+                ours[i][len(r):],
+                np.full(ours.shape[1] - len(r), cfg.eot_id, ours.dtype),
+                err_msg=f"alpha={alpha} k={k} row {i} post-EOS tail")
