@@ -41,8 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("no_repeat_ngram_size", int, 2, "ngram ban size")
     add_arg("max_new_tokens", int, 128, "decode budget after the prompt")
     add_arg("do_sample", bool, False,
-            "multinomial sampling instead of greedy/beam (reference "
-            "process_str.py strategies)")
+            "multinomial sampling (reference process_str.py strategies); "
+            "with --num_beams>1 this is HF beam-sample — the reference "
+            "runs its sampling strategies at num_beams=20; use "
+            "--num_beams=1 for single-sequence sampling")
     add_arg("temperature", float, 1.0, "sampling temperature")
     add_arg("top_k", int, 0, "sampling top-k (0 = off)")
     add_arg("top_p", float, 1.0, "sampling top-p (1.0 = off)")
@@ -205,8 +207,9 @@ def main(argv=None):
     gen = GenerationConfig.for_model(
         config,
         max_length=prompt.shape[1] + args.max_new_tokens,
-        num_beams=1 if (args.do_sample or args.penalty_alpha > 0)
-        else args.num_beams,
+        # contrastive is single-sequence by construction; sampling keeps
+        # the requested beam count (HF beam-sample when > 1)
+        num_beams=1 if args.penalty_alpha > 0 else args.num_beams,
         penalty_alpha=args.penalty_alpha,
         repetition_penalty=args.repetition_penalty,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
@@ -289,7 +292,8 @@ def main(argv=None):
     elif args.penalty_alpha > 0 and args.top_k > 1 and not args.do_sample:
         tag = f"contrastive{args.top_k}"
     elif args.do_sample:
-        tag = "sample"
+        tag = (f"beam_sample{gen.num_beams}" if gen.num_beams > 1
+               else "sample")
     else:
         tag = f"beam{gen.num_beams}"
     if args.noise:

@@ -48,7 +48,10 @@ class GenerationConfig:
     int8_kv_cache: bool = False
     # multinomial sampling (reference `utils/process_str.py:57-63`
     # strategies: do_sample with optional top_k / top_p warpers; HF order
-    # processors -> temperature -> top_k -> top_p -> categorical draw)
+    # processors -> temperature -> top_k -> top_p -> categorical draw).
+    # With num_beams > 1 this selects HF BEAM-SAMPLE (the reference runs
+    # its sampling strategies at num_beams=20): warped per-row scores,
+    # 2K candidates drawn without replacement per step (see beam_search)
     do_sample: bool = False
     temperature: float = 1.0
     top_k: int = 0
@@ -354,7 +357,7 @@ def _pad_beam_state(st, extra: int, pad_id: int):
     [B, K, L] plus the per-layer self K/V caches; scores/flags/seen and the
     cross caches are length-invariant."""
     (tokens, cache, last, cur_len, alive_logp,
-     fin_seq, fin_scores, fin_exists, seen) = st
+     fin_seq, fin_scores, fin_exists, seen, improve_unsat, valid_cont) = st
     tokens = jnp.pad(tokens, ((0, 0), (0, 0), (0, extra)),
                      constant_values=pad_id)
     fin_seq = jnp.pad(fin_seq, ((0, 0), (0, 0), (0, extra)),
@@ -367,7 +370,7 @@ def _pad_beam_state(st, extra: int, pad_id: int):
     cache = dict(cache)
     cache["self"] = grown
     return (tokens, cache, last, cur_len, alive_logp,
-            fin_seq, fin_scores, fin_exists, seen)
+            fin_seq, fin_scores, fin_exists, seen, improve_unsat, valid_cont)
 
 
 def _pad_decode_state(st, extra: int, pad_id: int):
@@ -620,13 +623,43 @@ def beam_search(
     gen: GenerationConfig,
     lora: Optional[Params] = None,
     bias_spec=None,
+    rng=None,
+    sample_noise=None,
 ):
-    """HF-semantics beam search. Returns (tokens [B, max_length],
-    scores [B]) for the best hypothesis per batch element.
+    """HF-semantics beam search (transformers 4.57 `_beam_search`).
+    Returns (tokens [B, max_length], scores [B]) for the best hypothesis
+    per batch element.
 
-    Finished-hypothesis score = sum_logprobs / cur_len**length_penalty with
-    cur_len the full sequence length including the prompt (HF
-    BeamHypotheses.add). early_stopping=False uses HF's is_done rule.
+    Exact 4.57 rules implemented: per step, 2K candidates are taken
+    (deterministic top-k, or drawn without replacement when do_sample); a
+    candidate "hits" when it emits eos OR reaches max_length; the K alive
+    beams are the top-K of the 2K by score with hits demoted ADDITIVELY by
+    -1e9 (relative order among hits preserved — `_get_running_beams_for_
+    next_iteration`); only the first K candidate POSITIONS may finalize
+    (`top_num_beam_mask`) and the finalized sequence INCLUDES its hitting
+    token; finished score = sum_logprobs / (generated_len ** length_penalty)
+    with generated_len EXCLUDING the prompt (`_update_finished_beams`);
+    the loop stops when the sticky per-batch improvement heuristic fails
+    everywhere, all candidates hit, or (early_stopping) every slot
+    finished (`_check_early_stop_heuristic` /
+    `_beam_search_has_unfinished_sequences`). There is no post-loop alive
+    fold: still-running beams finalize through the max-length hit of the
+    last step, exactly as HF's.
+
+    ``gen.do_sample=True`` runs HF BEAM-SAMPLE (the reference's
+    multinomial/top-k/top-p strategies at num_beams=20,
+    `utils/process_str.py:56-63`; transformers 4.57 `_beam_search` with
+    do_sample + `_get_top_k_continuations`): the temperature/top-k/top-p
+    warpers run per beam row AFTER the processors and BEFORE the
+    running-score addition (min_tokens_to_keep = n_eos_tokens + 1 = 2),
+    and the 2K continuation candidates are drawn WITHOUT replacement from
+    softmax of the flat [B, K*V] accumulated scores instead of taken
+    deterministically. The draw uses the Gumbel-top-k identity
+    (argtop_{2K}(scores + Gumbel) ~ sequential multinomial without
+    replacement on softmax(scores)); alive/finished selection among the 2K
+    stays score-based top-k exactly as HF's. ``rng`` seeds the per-step
+    Gumbel noise (folded with cur_len); ``sample_noise`` ([max_length, B,
+    K*V]) overrides the noise source for deterministic parity tests.
     """
     B = features.shape[0]
     K = gen.num_beams
@@ -642,8 +675,11 @@ def beam_search(
         and bias_spec is None
         and not gen.timestamps
         and gen.repetition_penalty >= 1.0
+        and not gen.do_sample  # warping/drawing needs the full vocab row
         and C < V_stat
     )
+    if gen.do_sample and rng is None:
+        rng = jax.random.key(0)
 
     enc = jw.encoder_apply(params, features, config, stem, lora=lora)
     # cross K/V is beam-invariant: keep ONE cross cache per utterance
@@ -668,6 +704,11 @@ def beam_search(
     fin_seq = jnp.full((B, K, L0), gen.pad_id, jnp.int32)
     fin_scores = jnp.full((B, K), NEG)
     fin_exists = jnp.zeros((B, K), bool)
+    # sticky per-batch "running beams could still improve the finished set"
+    # bit (HF is_early_stop_heuristic_unsatisfied) and the global "not all
+    # candidates hit a stopping criterion last step" bit
+    improve_unsat = jnp.ones((B,), bool)
+    valid_cont = jnp.asarray(True)
 
     # incremental seen-token set per beam row [B*K, V] (reordered with the
     # self cache each step); exact vs the dense buffer rescan by construction
@@ -677,16 +718,6 @@ def beam_search(
         tokens.reshape(B * K, L0)[:, :P], jnp.asarray(P), V_dim)
         if use_seen else jnp.zeros((B * K, 1), bool))
 
-    def is_done(fin_scores, fin_exists, alive_logp, cur_len):
-        worst_fin = jnp.min(jnp.where(fin_exists, fin_scores, jnp.inf), axis=1)
-        all_fin = jnp.all(fin_exists, axis=1)
-        if gen.early_stopping:
-            return all_fin
-        best_alive = jnp.max(alive_logp, axis=1) / (
-            cur_len.astype(jnp.float32) ** gen.length_penalty
-        )
-        return all_fin & (worst_fin >= best_alive)
-
     def segment(st, Lb: int):
         """Decode-bucket segment (see greedy_decode.segment): the beam
         state's length-carrying buffers (tokens, fin_seq, self caches) are
@@ -695,14 +726,20 @@ def beam_search(
 
         def cond(st):
             (tokens, cache, last, cur_len, alive_logp,
-             fin_seq, fin_scores, fin_exists, seen) = st
-            return (cur_len < Lb) & ~jnp.all(
-                is_done(fin_scores, fin_exists, alive_logp, cur_len)
-            )
+             fin_seq, fin_scores, fin_exists, seen,
+             improve_unsat, valid_cont) = st
+            # HF _beam_search_has_unfinished_sequences: improvement
+            # possible anywhere & (early_stopping: some slot open) &
+            # valid continuations remain
+            go = (cur_len < Lb) & jnp.any(improve_unsat) & valid_cont
+            if gen.early_stopping:
+                go = go & ~jnp.all(fin_exists)
+            return go
 
         def body(st):
             (tokens, cache, last, cur_len, alive_logp,
-             fin_seq, fin_scores, fin_exists, seen) = st
+             fin_seq, fin_scores, fin_exists, seen,
+             improve_unsat, valid_cont) = st
             V = last.shape[-1]
 
             # HF beam search order: log_softmax FIRST, then the processor chain
@@ -729,28 +766,70 @@ def beam_search(
                 logp = _process_logits(
                     logp, tokens.reshape(B * K, Lb), cur_len, gen, bias_spec, P,
                     seen=seen if use_seen else None,
-                ).reshape(B, K, V)
+                )
+                if gen.do_sample:
+                    # HF 4.57 appends the warpers to the processor chain:
+                    # per beam row, before the running-score addition,
+                    # min_tokens_to_keep = n_eos + 1 = 2
+                    logp = lp.temperature_warp(logp, gen.temperature)
+                    logp = lp.top_k_warp(logp, gen.top_k,
+                                         min_tokens_to_keep=2)
+                    logp = lp.top_p_warp(logp, gen.top_p,
+                                         min_tokens_to_keep=2)
+                logp = logp.reshape(B, K, V)
                 total = alive_logp[..., None] + logp  # [B, K, V]
 
                 flat = total.reshape(B, K * V)
-                top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
+                if gen.do_sample:
+                    # Gumbel-top-k == multinomial without replacement on
+                    # softmax(flat); banned (-1e9) entries cannot win — the
+                    # warpers keep >= 2 finite entries per beam row, so
+                    # each flat row has >= 2K finite candidates
+                    if sample_noise is not None:
+                        noise = lax.dynamic_index_in_dim(
+                            sample_noise, cur_len, axis=0, keepdims=False)
+                    else:
+                        noise = jax.random.gumbel(
+                            jax.random.fold_in(rng, cur_len),
+                            (B, K * V), jnp.float32)
+                    _, top_idx = lax.top_k(flat + noise, 2 * K)  # [B, 2K]
+                    top_vals = jnp.take_along_axis(flat, top_idx, axis=1)
+                else:
+                    top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
                 top_beam = top_idx // V
                 top_tok = (top_idx % V).astype(jnp.int32)
-            is_eos = top_tok == gen.eos_id
 
-            # ---- finished update: eos candidates fold into the finished set
-            cand_len = (cur_len + 1).astype(jnp.float32)
-            cand_scores = jnp.where(
-                is_eos, top_vals / (cur_len.astype(jnp.float32) ** gen.length_penalty), NEG
-            )  # HF: normalize by length of hyp WITHOUT the eos token (= cur_len)
-            # candidate sequences: parent beam's tokens (eos not written — HF adds
-            # the hyp without the eos token; pad stays)
+            # a candidate "hits" a stopping criterion when it emits eos or
+            # its sequence (cur_len + 1 tokens) reaches max_length
+            hits = (top_tok == gen.eos_id) | (cur_len + 1 >= L)  # [B, 2K]
+
+            # ---- finished update (HF _update_finished_beams): only the
+            # first K candidate POSITIONS may finalize (top_num_beam_mask;
+            # deterministic candidates are score-sorted so these are the K
+            # best, sampled candidates are in draw order); the finalized
+            # sequence INCLUDES the hitting token; score normalized by the
+            # GENERATED length (prompt excluded); adds blocked once the
+            # improvement heuristic failed (and, under early_stopping,
+            # once every slot is finished)
             parent_tokens = jnp.take_along_axis(
                 tokens, top_beam[..., None], axis=1
             )  # [B, 2K, L]
+            cand_seq = jax.vmap(
+                jax.vmap(lambda row, t: lax.dynamic_update_slice(
+                    row, t[None], (cur_len,)), in_axes=(0, 0)),
+                in_axes=(0, 0),
+            )(parent_tokens, top_tok)
+            gen_len1 = (cur_len + 1 - P).astype(jnp.float32)
+            cand_norm = top_vals / (gen_len1 ** gen.length_penalty)
+            pos_ok = jnp.arange(2 * K)[None, :] < K
+            eligible = hits & pos_ok & improve_unsat[:, None]
+            if gen.early_stopping:
+                eligible = eligible & ~jnp.all(fin_exists, axis=1,
+                                               keepdims=True)
+            cand_scores = jnp.where(eligible, cand_norm, NEG)
             all_scores = jnp.concatenate([fin_scores, cand_scores], axis=1)  # [B, 3K]
-            all_exists = jnp.concatenate([fin_exists, is_eos], axis=1)
-            all_seqs = jnp.concatenate([fin_seq, parent_tokens], axis=1)  # [B, 3K, L]
+            all_exists = jnp.concatenate([fin_exists, eligible], axis=1)
+            all_seqs = jnp.concatenate([fin_seq, cand_seq], axis=1)  # [B, 3K, L]
             keep_vals, keep_idx = lax.top_k(
                 jnp.where(all_exists, all_scores, NEG), K
             )
@@ -758,8 +837,11 @@ def beam_search(
             fin_exists = jnp.take_along_axis(all_exists, keep_idx, axis=1)
             fin_seq = jnp.take_along_axis(all_seqs, keep_idx[..., None], axis=1)
 
-            # ---- alive update: top K non-eos among the 2K candidates
-            alive_rank = jnp.where(is_eos, NEG, top_vals)
+            # ---- alive update: top K of the 2K with hits demoted
+            # ADDITIVELY (relative order among hit candidates preserved,
+            # and a hit forced into the alive set carries the -1e9 — HF
+            # _get_running_beams_for_next_iteration)
+            alive_rank = top_vals + hits.astype(jnp.float32) * NEG
             alive_vals, alive_pick = lax.top_k(alive_rank, K)  # [B, K]
             new_beam = jnp.take_along_axis(top_beam, alive_pick, axis=1)  # [B,K]
             new_tok = jnp.take_along_axis(top_tok, alive_pick, axis=1)
@@ -771,6 +853,18 @@ def beam_search(
                          in_axes=(0, 0)),
                 in_axes=(0, 0),
             )(tokens, new_tok)
+
+            # ---- stopping state (HF _check_early_stop_heuristic, computed
+            # on the post-update finished set and the incremented length;
+            # the bool-early_stopping config never takes HF's "never"
+            # branch, so best_hypothetical_length == the current one)
+            best_possible = jnp.max(alive_logp, axis=1) / (
+                gen_len1 ** gen.length_penalty)
+            all_fin = jnp.all(fin_exists, axis=1)
+            worst_fin = jnp.min(fin_scores, axis=1)  # NEG placeholders kept
+            improve_unsat = improve_unsat & jnp.where(
+                all_fin, best_possible > worst_fin, True)
+            valid_cont = ~jnp.all(hits)
 
             if use_seen:
                 flat = (new_beam + jnp.arange(B)[:, None] * K).reshape(-1)
@@ -784,30 +878,24 @@ def beam_search(
                 cache=cache, cache_index=cur_len,
             )
             return (tokens, cache, logits[:, -1], cur_len + 1, alive_logp,
-                    fin_seq, fin_scores, fin_exists, seen)
+                    fin_seq, fin_scores, fin_exists, seen,
+                    improve_unsat, valid_cont)
 
         return lax.while_loop(cond, body, st)
 
     st = (tokens, cache, last, jnp.asarray(P, jnp.int32), alive_logp,
-          fin_seq, fin_scores, fin_exists, seen0)
+          fin_seq, fin_scores, fin_exists, seen0, improve_unsat, valid_cont)
     st = segment(st, buckets[0])
     for lb_prev, lb in zip(buckets, buckets[1:]):
         st = _pad_beam_state(st, lb - lb_prev, gen.pad_id)
         st = segment(st, lb)
     (tokens, cache, last, cur_len, alive_logp,
-     fin_seq, fin_scores, fin_exists, _seen) = st
+     fin_seq, fin_scores, fin_exists, _seen, improve_unsat, valid_cont) = st
 
-    # fold still-alive beams in as hypotheses of length L (no eos reached)
-    alive_scores = alive_logp / (cur_len.astype(jnp.float32) ** gen.length_penalty)
-    all_scores = jnp.concatenate([fin_scores, alive_scores], axis=1)
-    all_exists = jnp.concatenate(
-        [fin_exists, jnp.ones_like(alive_scores, bool)], axis=1
-    )
-    all_seqs = jnp.concatenate([fin_seq, tokens], axis=1)
-    best = jnp.argmax(jnp.where(all_exists, all_scores, NEG), axis=1)
-    best_seq = jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
-    best_score = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
-    return best_seq, best_score
+    # the finished set is kept sorted descending by lax.top_k, and running
+    # beams finalize through the max-length hit of the last step — HF takes
+    # sequences[:, 0] with no post-loop alive fold
+    return fin_seq[:, 0], fin_scores[:, 0]
 
 
 def generate(
@@ -821,9 +909,11 @@ def generate(
     bias_spec=None,
     rng=None,
 ):
-    """Dispatch contrastive/sampling/greedy/beam; returns tokens
-    [B, max_length]. Mode selection follows HF: contrastive when
-    ``penalty_alpha > 0 and top_k > 1`` without sampling."""
+    """Dispatch contrastive/sampling/beam-sample/greedy/beam; returns
+    tokens [B, max_length]. Mode selection follows HF: contrastive when
+    ``penalty_alpha > 0 and top_k > 1`` without sampling; beam-sample when
+    ``do_sample and num_beams > 1`` (the reference's multinomial/top-k/
+    top-p strategies run at num_beams=20, `utils/process_str.py:56-63`)."""
     if gen.penalty_alpha > 0 and gen.top_k > 1 and not gen.do_sample:
         return contrastive_search(
             params, features, prompt_ids, config, stem, gen, lora=lora,
@@ -832,6 +922,12 @@ def generate(
     if gen.do_sample:
         if rng is None:
             rng = jax.random.key(0)
+        if gen.num_beams > 1:
+            seq, _ = beam_search(
+                params, features, prompt_ids, config, stem, gen, lora=lora,
+                bias_spec=bias_spec, rng=rng,
+            )
+            return seq
         return sample_decode(
             params, features, prompt_ids, rng, config, stem, gen, lora=lora,
             bias_spec=bias_spec,

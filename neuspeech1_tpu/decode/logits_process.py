@@ -228,10 +228,15 @@ def temperature_warp(logits, temperature: float):
     return logits / jnp.float32(temperature)
 
 
-def top_k_warp(logits, k: int):
+def top_k_warp(logits, k: int, min_tokens_to_keep: int = 1):
     """HF TopKLogitsWarper: keep the k highest-scoring tokens, set the rest
-    to the filter value. k <= 0 disables."""
-    if k <= 0 or k >= logits.shape[-1]:
+    to the filter value. k <= 0 disables. ``min_tokens_to_keep`` floors k
+    (HF: ``top_k = max(top_k, min_tokens_to_keep)`` — beam-sample passes
+    n_eos_tokens + 1 so a non-eos continuation always survives)."""
+    if k <= 0:
+        return logits
+    k = max(k, min_tokens_to_keep)
+    if k >= logits.shape[-1]:
         return logits
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)

@@ -580,6 +580,169 @@ def test_sample_decode_properties(gen_pair):
     np.testing.assert_array_equal(a, b)
 
 
+def test_top_k_warper_min_tokens_to_keep_matches_hf():
+    """Beam-sample constructs TopK with min_tokens_to_keep = n_eos+1 = 2
+    (HF `_get_logits_processor` under num_beams>1 + do_sample)."""
+    from transformers import TopKLogitsWarper
+
+    logits = _rand_logits(b=3, v=50, seed=6)
+    ref = TopKLogitsWarper(top_k=1, min_tokens_to_keep=2)(
+        None, torch.tensor(logits)).numpy()
+    ours = np.asarray(lp.top_k_warp(jnp.asarray(logits), 1,
+                                    min_tokens_to_keep=2))
+    np.testing.assert_array_equal(ours < -1e8, ref < -1e9)
+
+
+def test_beam_sample_zero_noise_equals_beam_search(gen_pair):
+    """With zero injected noise and neutral warpers, the beam-sample path
+    (argtop of flat + noise) degenerates to deterministic beam search
+    token- and score-exactly."""
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    stem = StemConfig("speech")
+    base = dict(max_length=L, num_beams=4, repetition_penalty=5.0,
+                no_repeat_ngram_size=2)
+    g_det = GenerationConfig.for_model(cfg, **base)
+    g_smp = GenerationConfig.for_model(cfg, do_sample=True, **base)
+    B, K, V = feats.shape[0], 4, VOCAB
+    zero_noise = jnp.zeros((L, B, K * V), jnp.float32)
+    s_det, v_det = beam_search(params, feats, prompt, cfg, stem, g_det)
+    s_smp, v_smp = beam_search(params, feats, prompt, cfg, stem, g_smp,
+                               sample_noise=zero_noise)
+    np.testing.assert_array_equal(np.asarray(s_smp), np.asarray(s_det))
+    np.testing.assert_allclose(np.asarray(v_smp), np.asarray(v_det),
+                               rtol=1e-5)
+
+
+def test_beam_sample_parity_injected_draws(gen_pair):
+    """Token-exact beam-sample parity vs REAL HF generate (the reference's
+    multinomial/top-k/top-p strategies at num_beams>1,
+    `utils/process_str.py:56-63`) with the one non-deterministic piece —
+    the multinomial draw — unified: torch.multinomial is patched to
+    argtop-2K of (log(probs) + noise) with a shared per-step Gumbel noise
+    buffer, exactly the Gumbel-top-k draw our beam_search uses
+    (adding noise to log(probs) vs to the accumulated scores differs by a
+    per-row constant, which argtop ignores). Everything else — processors,
+    warper order/min_tokens_to_keep, score addition, eos folding,
+    finalization — is HF's real 4.57 code vs ours.
+
+    NOTE: transformers 4.57's WhisperGenerationMixin.generate forces
+    num_beams=1 whenever do_sample is set (its temperature-fallback loop),
+    making beam-sample unreachable through the whisper wrapper — the
+    reference's vendored fork of an older transformers passed through to
+    GenerationMixin, where BEAM_SAMPLE is live. We therefore call
+    GenerationMixin.generate directly (the mode table still selects
+    BEAM_SAMPLE there)."""
+    cfg, m, params, feats, prompt = gen_pair
+    L, K = 16, 3
+    B, V = feats.shape[0], VOCAB
+    P = prompt.shape[1]
+    stem = StemConfig("speech")
+    rng = np.random.default_rng(42)
+    noise = rng.gumbel(size=(L, B, K * V)).astype(np.float32)
+    noise_t = torch.tensor(noise)
+
+    for kw in (
+        dict(temperature=1.3, top_k=5),
+        dict(top_p=0.9),
+        dict(repetition_penalty=5.0, no_repeat_ngram_size=2, top_k=8),
+    ):
+        calls = {"i": 0}
+        orig = torch.multinomial
+
+        def fake_multinomial(probs, num_samples, **_kw):
+            step_noise = noise_t[P + calls["i"]]
+            calls["i"] += 1
+            assert probs.shape == (B, K * V) and num_samples == 2 * K
+            scores = torch.log(probs) + step_noise
+            return torch.topk(scores, num_samples, dim=-1).indices
+
+        from transformers.generation import GenerationMixin
+
+        torch.multinomial = fake_multinomial
+        try:
+            with torch.no_grad():
+                ref = GenerationMixin.generate(
+                    m,
+                    input_features=torch.tensor(feats),
+                    decoder_input_ids=torch.tensor(prompt, dtype=torch.long),
+                    max_length=L, num_beams=K, do_sample=True,
+                    length_penalty=1.0, early_stopping=False,
+                    pad_token_id=cfg.eot_id,
+                    # HF GenerationConfig defaults top_k=50 under
+                    # do_sample; disable unless the case sets it so both
+                    # sides warp identically
+                    **{"top_k": 0, **kw},
+                ).numpy()
+        finally:
+            torch.multinomial = orig
+        assert calls["i"] >= 1
+
+        gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=K,
+                                         do_sample=True, **kw)
+        seq, _ = beam_search(params, feats, prompt, cfg, stem, gen,
+                             sample_noise=jnp.asarray(noise))
+        ours = np.asarray(seq)
+        # generic GenerationMixin.generate keeps the decoder prompt in its
+        # output (the whisper wrapper would strip it); pad == eos, so tails
+        # compare exactly too
+        for i in range(B):
+            np.testing.assert_array_equal(
+                ours[i][: ref.shape[1]], ref[i],
+                err_msg=f"kw={kw} row {i}")
+
+
+def test_beam_sample_gumbel_draw_distribution():
+    """The Gumbel-top-k draw IS multinomial-without-replacement: (a) first
+    pick frequencies match softmax(scores) over many keys; (b) the 2K
+    picks per draw are distinct."""
+    import jax
+
+    scores = jnp.asarray([[0.5, 2.0, -1.0, 1.0, 0.0, -0.5]], jnp.float32)
+    probs = np.asarray(jax.nn.softmax(scores, axis=-1))[0]
+    n, k = 4000, 3
+    counts = np.zeros(6)
+    base = jax.random.key(123)
+
+    @jax.jit
+    def draw(key):
+        g = jax.random.gumbel(key, scores.shape, jnp.float32)
+        return jax.lax.top_k(scores + g, k)[1][0]
+
+    keys = jax.random.split(base, n)
+    picks = np.asarray(jax.vmap(draw)(keys))  # [n, k]
+    for row in picks:
+        assert len(set(row.tolist())) == k  # without replacement
+    for t in picks[:, 0]:
+        counts[t] += 1
+    freq = counts / n
+    # 4000 draws: std per bucket <= 0.008; allow 5 sigma
+    np.testing.assert_allclose(freq, probs, atol=0.04)
+
+
+def test_beam_sample_via_generate_deterministic(gen_pair):
+    """Dispatcher: do_sample + num_beams>1 routes to beam-sample; a fixed
+    rng key is reproducible and the output differs from deterministic beam
+    under hot temperature (sanity that sampling is actually live)."""
+    import jax
+
+    from neuspeech1_tpu.decode.generate import generate
+
+    cfg, m, params, feats, prompt = gen_pair
+    L = 16
+    stem = StemConfig("speech")
+    gen = GenerationConfig.for_model(cfg, max_length=L, num_beams=3,
+                                     do_sample=True, temperature=2.0)
+    a = np.asarray(generate(params, feats, prompt, cfg, stem, gen,
+                            rng=jax.random.key(5)))
+    b = np.asarray(generate(params, feats, prompt, cfg, stem, gen,
+                            rng=jax.random.key(5)))
+    np.testing.assert_array_equal(a, b)
+    det = GenerationConfig.for_model(cfg, max_length=L, num_beams=3)
+    d, _ = beam_search(params, feats, prompt, cfg, stem, det)
+    assert not np.array_equal(a, np.asarray(d))
+
+
 def test_beam_prefilter_parity(gen_pair):
     """beam_prefilter='on' (exact top-C subset processors) reproduces the
     full-vocab path token-exactly under the reference penalties."""
