@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("fold_lora_in_step", bool, True,
             "materialize adapter deltas into weights once per step "
             "(measured 14% faster than per-token low-rank matmuls)")
+    add_arg("int8_matmul", str, "off",
+            "AQT-style int8 training matmuls on the int8 MXU: off|fwd|full "
+            "(fwd = forward dots only, full = forward + dx/dW dots; "
+            "dynamic per-vector symmetric scales, straight-through "
+            "gradients — TPU analog of the reference's load_in_8bit)")
     add_arg("num_workers", int, 4, "loader threads")
     add_arg("device_cache", str, "auto",
             "stage the whole train set in HBM and sample on-device: "
@@ -406,6 +411,7 @@ def main(argv=None):
         orth_reg_weight=args.orth_reg_weight if (lora is not None and args.use_adalora) else 0.0,
         adalora=adalora_cfg, tensorboard=True,
         fold_lora=args.fold_lora_in_step,
+        int8_matmul=args.int8_matmul,
         augment_config=device_augment,
         generate_eval_tokenizer=tokenizer if args.eval_wer else None,
         generate_eval_language=args.language,

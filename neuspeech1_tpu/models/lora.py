@@ -21,6 +21,7 @@ scaling is applied in `lora_delta` from the "alpha" array).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -69,9 +70,13 @@ def _w_eff_of(w, entry: Params):
     return w + (a @ entry["B"]) * scale
 
 
-@jax.custom_vjp
 def folded_linear(x, p: Params, entry: Params):
     """x @ (W + s*A(Em)B) + bias with a LOW-RANK-ONLY backward.
+
+    The active `ops.int8_matmul` mode is captured STATICALLY here (forward
+    trace time — the backward traces after the int8_mode context exits)
+    and routes the big W_eff / dx dots through the quantized matmul; the
+    narrow rank-r adapter products stay exact.
 
     FROZEN-BASE CONTRACT: the base weight/bias cotangents are returned as
     zeros — callers must guarantee W and bias are in the frozen partition
@@ -88,8 +93,15 @@ def folded_linear(x, p: Params, entry: Params):
         dA = s * (x^T t1) * (Em);  dB = s * (u*Em)^T dy
         dE = s * rowsum(u * t1)
     """
+    from neuspeech1_tpu.ops import int8_matmul as _i8
+
+    return _folded_linear(_i8.mode(), x, p, entry)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _folded_linear(i8: str, x, p: Params, entry: Params):
     w_eff = _w_eff_of(p["w"], entry).astype(x.dtype)
-    y = _flat_dot(x, w_eff)
+    y = _flat_dot(x, w_eff, i8=i8)
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -112,30 +124,37 @@ def _tmajor() -> bool:
     return os.environ.get("NEUSPEECH_FOLD_TMAJOR", "0") == "1"
 
 
-def _flat_dot(x, w):
+def _flat_dot(x, w, i8: str = "off"):
     """x @ w through a flat [N, din] view — keeps every producer/consumer
     of the folded path on the flat {1,0} layout the backward kernel pins
-    (mixed 3D/flat forms made XLA materialize {2,0,1}<->{2,1,0} copies)."""
+    (mixed 3D/flat forms made XLA materialize {2,0,1}<->{2,1,0} copies).
+    ``i8`` != 'off' runs the dot as a dynamic int8 matmul
+    (ops/int8_matmul._qdot2 — raw, no STE wrapper: this call sits inside
+    folded_linear's custom VJP, which owns the gradients)."""
+    from neuspeech1_tpu.ops.int8_matmul import _qdot2
+
+    dot2 = ((lambda a, b: _qdot2(a, b, a.dtype)) if i8 != "off"
+            else (lambda a, b: jnp.dot(a, b)))
     din = x.shape[-1]
     if x.ndim == 3 and _tmajor():
         bb, tt, _ = x.shape
-        y = jnp.dot(x.transpose(1, 0, 2).reshape(bb * tt, din), w)
+        y = dot2(x.transpose(1, 0, 2).reshape(bb * tt, din), w)
         return y.reshape(tt, bb, w.shape[-1]).transpose(1, 0, 2)
     n = 1
     for s in x.shape[:-1]:
         n *= s
-    return jnp.dot(x.reshape(n, din), w).reshape(*x.shape[:-1], w.shape[-1])
+    return dot2(x.reshape(n, din), w).reshape(*x.shape[:-1], w.shape[-1])
 
 
-def _folded_linear_fwd(x, p, entry):
+def _folded_linear_fwd(i8, x, p, entry):
     w_eff = _w_eff_of(p["w"], entry).astype(x.dtype)
-    y = _flat_dot(x, w_eff)
+    y = _flat_dot(x, w_eff, i8=i8)
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y, (x, w_eff, p, entry)
 
 
-def _folded_linear_bwd(res, dy):
+def _folded_linear_bwd(i8, res, dy):
     x, w_eff, p, entry = res
     a = entry["A"]
     b = entry["B"]
@@ -179,14 +198,26 @@ def _folded_linear_bwd(res, dy):
         # turns them into ~9 ms/step of standalone copies — measured
         # equal whether dx is flat, 3D-einsum, or in-kernel (207 / 207.2 /
         # 228 ms/step vs 205.6 for NEUSPEECH_FOLD_IMPL=merge).
-        dx = jnp.dot(dy2, w_eff.T)
+        if i8 == "full":
+            from neuspeech1_tpu.ops.int8_matmul import _qdot2
+
+            dx = _qdot2(dy2, w_eff.T, dy2.dtype)
+        else:
+            dx = jnp.dot(dy2, w_eff.T)
         if tmaj:
             dx = dx.reshape(x.shape[1], x.shape[0], din).transpose(1, 0, 2)
             dx = dx.astype(x.dtype)
         else:
             dx = dx.reshape(x.shape).astype(x.dtype)
     else:
-        dx = jnp.einsum("...o,do->...d", dy, w_eff).astype(x.dtype)
+        if i8 == "full":
+            from neuspeech1_tpu.ops.int8_matmul import _qdot2
+
+            n_t, dout_ = n_tokens, dy.shape[-1]
+            dx = _qdot2(dy.reshape(n_t, dout_), w_eff.T,
+                        dy.dtype).reshape(x.shape).astype(x.dtype)
+        else:
+            dx = jnp.einsum("...o,do->...d", dy, w_eff).astype(x.dtype)
         lead = tuple(range(x.ndim - 1))  # contracted batch/time dims
         t1 = jnp.einsum("...o,ro->...r", dy, b.astype(dy.dtype))  # [..., r]
         u = jnp.einsum("...d,dr->...r", x, a.astype(x.dtype))     # [..., r]
@@ -218,7 +249,7 @@ def _folded_linear_bwd(res, dy):
     return dx, d_p, d_entry
 
 
-folded_linear.defvjp(_folded_linear_fwd, _folded_linear_bwd)
+_folded_linear.defvjp(_folded_linear_fwd, _folded_linear_bwd)
 
 
 def _entry_shapes(d_model: int, ffn: int, name: str) -> Tuple[int, int]:

@@ -80,12 +80,22 @@ def fold_at_linear():
 
 
 def linear(x, p: Params, lora: Optional[Params] = None):
-    """x @ w + b, with optional low-rank delta from a parallel LoRA tree."""
+    """x @ w + b, with optional low-rank delta from a parallel LoRA tree.
+
+    Under `ops.int8_matmul.int8_mode` (trainstep's int8_matmul='fwd'|'full')
+    the dot runs as an AQT-style dynamic int8 matmul — the train-time
+    analog of the reference's optional load_in_8bit path
+    (`finetune.py:128,171`), using the int8 MXU's 2x bf16 rate."""
     if lora is not None and _FOLD_AT_LINEAR[0]:
         from neuspeech1_tpu.models.lora import folded_linear
 
         return folded_linear(x, p, lora)
-    y = jnp.dot(x, p["w"].astype(x.dtype))
+    from neuspeech1_tpu.ops import int8_matmul as _i8
+
+    if _i8.mode() != "off":
+        y = _i8.quantized_dot(x, p["w"].astype(x.dtype))
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p and p["b"] is not None:
         y = y + p["b"].astype(x.dtype)
     if lora is not None:

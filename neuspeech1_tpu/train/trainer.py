@@ -47,6 +47,7 @@ class Trainer:
         tensorboard: bool = False,
         batch_transform: Optional[Callable] = None,
         fold_lora: bool = False,
+        int8_matmul: str = "off",
         generate_eval_tokenizer=None,
         generate_eval_max_new: int = 48,
         generate_eval_language: Optional[str] = "english",
@@ -81,6 +82,7 @@ class Trainer:
             augment_config=augment_config,
             track_adalora_importance=bool(adalora),
             fold_lora=fold_lora,
+            int8_matmul=int8_matmul,
             adalora_ipt_stop_step=(
                 adalora_total - (adalora or {}).get("tfinal", 1000)
                 if adalora else None

@@ -76,6 +76,7 @@ def make_loss_fn(
     stem: StemConfig,
     orth_reg_weight: float = 0.0,
     fold_lora: bool = False,
+    int8_matmul: str = "off",
 ):
     """With ``fold_lora`` the adapter deltas are materialized into the
     weights ONCE per step (differentiable W_eff = W + s·A(Λm)B) instead of
@@ -133,7 +134,17 @@ def make_loss_fn(
                 fold_ctx = jw.fold_at_linear
         import contextlib
 
-        with (fold_ctx() if fold_ctx else contextlib.nullcontext()):
+        # AQT-style int8 training matmuls (ops/int8_matmul): 'fwd' or
+        # 'full' routes every `linear`/folded dot through dynamic int8
+        # quantization on the int8 MXU (2x bf16 rate); off for eval/decode
+        if int8_matmul != "off":
+            from neuspeech1_tpu.ops.int8_matmul import int8_mode
+
+            i8_ctx = lambda: int8_mode(int8_matmul)  # noqa: E731
+        else:
+            i8_ctx = contextlib.nullcontext
+        with (fold_ctx() if fold_ctx else contextlib.nullcontext()), \
+                i8_ctx():
             logits = jw.forward(
                 params,
                 batch["input_features"],
@@ -169,6 +180,7 @@ def make_train_step(
     track_adalora_importance: bool = False,
     fold_lora: bool = False,
     adalora_ipt_stop_step: Optional[int] = None,
+    int8_matmul: str = "off",
 ):
     """Returns jitted `train_step(state, frozen, batch) -> (state, metrics)`;
     only `state` is donated. With `track_adalora_importance`, the state's
@@ -176,7 +188,8 @@ def make_train_step(
     RankAllocator.update_ipt: ipt = |θ·g| on the POST-update params, the
     reference call order `optimizer.step(); update_and_allocate()`); updates
     stop at `adalora_ipt_stop_step` (PEFT: total_step − tfinal)."""
-    loss_fn = make_loss_fn(config, stem, orth_reg_weight, fold_lora=fold_lora)
+    loss_fn = make_loss_fn(config, stem, orth_reg_weight,
+                           fold_lora=fold_lora, int8_matmul=int8_matmul)
 
     def train_step(state: TrainState, frozen, batch):
         rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)
