@@ -75,6 +75,66 @@ def small_train():
     }), flush=True)
 
 
+def large_train():
+    """whisper-LARGE-V3 geometry TRAIN row (VERDICT r3 item 7): 32+32,
+    d1280, 20 heads, EEG 208-ch base stem (apples-to-apples with
+    small_train), LoRA r=32 + stem, remat=True (the memory-realistic
+    config at this scale — f32 master weights alone are ~6 GB), bs8 with
+    a bs4 fallback. The geometry most likely to expose kernel-envelope
+    assumptions: d_head 64 at h=20 (odd head-per-block packing), 128-dim
+    mel-scale widths, dW accumulations at d1280."""
+    import bench as benchmod
+
+    label = 64
+    stem = StemConfig("base", in_channels=208)
+    config = preset_config("large", remat=True)
+    for bs in (8, 4):
+        try:
+            params = init_params(jax.random.key(0), config, stem)
+            lora = init_lora(jax.random.key(1), config, rank=32, alpha=64)
+            tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=500,
+                                    total_steps=100_000)
+            state, frozen = ts.init_train_state(
+                jax.random.key(2), params, lora, tx,
+                opt.default_trainable_pred())
+            step = ts.make_train_step(config, stem, tx, fold_lora=True)
+            rng = np.random.default_rng(0)
+            batch = {
+                "input_features": jnp.asarray(
+                    rng.standard_normal((bs, 208, 6000)).astype(np.float32)),
+                "labels": jnp.asarray(
+                    rng.integers(0, 50000, (bs, label)).astype(np.int32)),
+                "decoder_input_ids": jnp.asarray(
+                    rng.integers(0, 50000, (bs, label)).astype(np.int32)),
+            }
+            state, m = step(state, frozen, batch)
+            float(jax.device_get(m["loss"]))
+        except Exception as e:
+            print(json.dumps({"config": "large_v3_train", "batch": bs,
+                              "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                  flush=True)
+            del params, lora
+            continue
+        K = 5
+        totals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                state, m = step(state, frozen, batch)
+            float(jax.device_get(m["loss"]))
+            totals.append(time.perf_counter() - t0)
+        dt = sorted(totals)[1] / K
+        sps = bs / dt
+        flops = benchmod.fwd_flops_per_sample(config, label, 208)
+        print(json.dumps({
+            "config": "large_v3_train", "batch": bs, "remat": True,
+            "step_ms": round(dt * 1e3, 1), "samples_per_sec": round(sps, 1),
+            "mfu": round(sps * 3.0 * flops / V5E_PEAK, 3),
+            "fwd_gflops_per_sample": round(flops / 1e9, 1),
+        }), flush=True)
+        return
+
+
 def large_decode():
     from neuspeech1_tpu.decode.generate import GenerationConfig, greedy_decode
 
@@ -114,5 +174,9 @@ def large_decode():
 
 
 if __name__ == "__main__":
-    small_train()
-    large_decode()
+    import sys
+
+    rows = sys.argv[1:] or ["small_train", "large_train", "large_decode"]
+    for r in rows:
+        {"small_train": small_train, "large_train": large_train,
+         "large_decode": large_decode}[r]()
