@@ -143,6 +143,7 @@ def make_separable_corpus(
     seg_dur: float = 0.4,
     language: str = "English",
     seed: int = 0,
+    freq_order=None,
 ) -> List[dict]:
     """Corpus with a GENERALIZABLE signal→text mapping: each word of a small
     vocabulary is a distinct sinusoid frequency emitted over that word's
@@ -151,11 +152,21 @@ def make_separable_corpus(
     stand-in (held-out decode WER) for the reference's real-data runs
     (BASELINE.md procedure item 1; real corpora are not available offline).
 
+    ``freq_order``: optional permutation of [0, vocab_size) assigning word
+    i the frequency slot freq_order[i] — a DIFFERENT signal→word mapping
+    over the same vocabulary/frequency set, i.e. a domain shift in signal
+    space with the text distribution unchanged (the cross-dataset transfer
+    scenario: encoder adapters + stem must re-map, the decoder's language
+    modelling stays valid).
+
     Same jsonl/npy contract as `make_synthetic_corpus`; splits 8:1:1.
     """
     rng = np.random.default_rng(seed)
     vocab = list(_WORDS[:vocab_size])
     freqs = 3.0 + 4.0 * np.arange(vocab_size)  # 3,7,11,... Hz — well below Nyquist
+    if freq_order is not None:
+        assert sorted(freq_order) == list(range(vocab_size)), freq_order
+        freqs = freqs[np.asarray(freq_order)]
     clip_dir = os.path.join(root, "clips")
     os.makedirs(clip_dir, exist_ok=True)
     seg_n = int(round(seg_dur * SIGNAL_SAMPLE_RATE))

@@ -861,6 +861,9 @@ def encoder_apply(
             pbody, xs, h, mesh, pipe_axis,
             num_microbatches=config.pipeline_microbatches or None,
             batch_axes=batch_axes,
+            # SP x PP: the ring's shard_map nests inside the stage body and
+            # must find the seq axis still auto (parallel/pipeline docstring)
+            auto_axes=(ring_axis,) if ring_axis is not None else (),
         )
     elif enc_lora is None:
         def body(carry, layer_p):

@@ -69,6 +69,7 @@ def pipeline_scan(
     batch_axes=None,
     consts=(),
     sample_consts=(),
+    auto_axes=(),
 ):
     """Run ``lax.scan(body, h, xs)``'s carry pipeline-parallel over a mesh axis.
 
@@ -83,8 +84,10 @@ def pipeline_scan(
     PER-SAMPLE arrays ([B, ...], e.g. a decoder's encoder states) — every
     stage receives the slice for the microbatch it is processing that tick
     (the schedule is deterministic: stage s holds microbatch t - s), so
-    they never ride the ring. Differentiable; numerically identical to the
-    plain scan.
+    they never ride the ring. ``auto_axes``: mesh axes to LEAVE auto inside
+    the stage body so a nested shard_map can claim them — e.g. the 'seq'
+    axis when ring attention (SP) runs inside the pipelined layers.
+    Differentiable; numerically identical to the plain scan.
     """
     n_stages = mesh.shape[pipe_axis]
     n_layers = _leading(xs)
@@ -154,11 +157,16 @@ def pipeline_scan(
         outputs = jnp.where(idx == n_stages - 1, outputs, 0)
         return lax.psum(outputs, pipe_axis)
 
+    from neuspeech1_tpu.parallel.ring_attention import unmanual_axes
+
     inner = shard_map(
         spmd,
         mesh=mesh,
         in_specs=(layer_spec, batch_spec, const_spec, sc_spec),
         out_specs=batch_spec,
         check_vma=False,
+        # manualize every still-auto axis EXCEPT auto_axes (left auto so a
+        # nested shard_map inside the stage body — SP's ring — can claim it)
+        axis_names=frozenset(unmanual_axes(mesh) - set(auto_axes)),
     )
     return inner(xs, hm, consts, scm).reshape(h.shape)

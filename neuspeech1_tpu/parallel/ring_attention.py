@@ -53,6 +53,21 @@ except ImportError:  # pragma: no cover
 from neuspeech1_tpu.ops import flash_attention as fa
 
 
+def unmanual_axes(mesh) -> set:
+    """Mesh axes NOT already bound manual by an enclosing shard_map.
+
+    Nesting contract (SP inside PP): a shard_map may only manualize axes
+    that are still auto/explicit in the current trace context — the
+    enclosing shard_map's axes arrive already Manual in the abstract mesh's
+    axis_types and must be left out of the inner `axis_names`."""
+    try:
+        types = mesh.axis_types
+    except Exception:  # pragma: no cover - very old mesh objects
+        return set(mesh.axis_names)
+    manual = jax.sharding.AxisType.Manual
+    return {n for n, t in zip(mesh.axis_names, types) if t != manual}
+
+
 def _head_weights(w8):
     """lse-shaped weights [B, 8H, T] -> per-(b, t, h) [B, T, H] (the 8
     sublanes per head are replicas; take one)."""
@@ -187,5 +202,9 @@ def ring_flash_attention(
         in_specs=(row_spec, row_spec, row_spec, P(None, None, seq_axis)),
         out_specs=row_spec,
         check_vma=False,
+        # manualize only axes not already manual: when the ring runs inside
+        # pipeline_scan's shard_map (SP x PP), 'pipe'/'data' arrive Manual
+        # and re-manualizing them produces inconsistent collective types
+        axis_names=frozenset(unmanual_axes(mesh)),
     )
     return inner(q3, k3, v3, bias).reshape(b, t, h, d)

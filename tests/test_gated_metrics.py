@@ -102,6 +102,44 @@ def test_bertscore_matches_greedy_matching_gold(encoder_dir):
     assert out["bert_score_f1"] == pytest.approx(np.mean(fs) * 100, abs=1e-3)
 
 
+def test_bertscore_baseline_rescale(encoder_dir, tmp_path):
+    """Fork semantics (`chinese_bert_score.py:325-342`): per-sentence
+    (s - b) / (1 - b) with each component's own baseline, F rescaled (not
+    recomputed); TSV read matches pd.read_csv(...).iloc[num_layers]."""
+    from neuspeech1_tpu.metrics.bertscore import bert_score, read_baseline_tsv
+
+    preds = ["the cat sat", "dog ran fast on mat"]
+    refs = ["the cat sat on mat", "dog ran"]
+    bl = (0.3, 0.4, 0.35)
+    # rescale is per-sentence but affine, so it commutes with the mean:
+    # mean((s - b)/(1 - b)) == (mean(s) - b)/(1 - b)
+    raw = bert_score(preds, refs, encoder_dir)
+    out = bert_score(preds, refs, encoder_dir, rescale_baseline=bl)
+    for k, b in zip(("bert_score_precision", "bert_score_recall",
+                     "bert_score_f1"), bl):
+        want = (raw[k] / 100.0 - b) / (1.0 - b) * 100.0
+        assert out[k] == pytest.approx(want, abs=1e-6)
+
+    tsv = tmp_path / "baseline.tsv"
+    tsv.write_text("LAYER,P,R,F\n0,0.1,0.2,0.15\n1,0.3,0.4,0.35\n")
+    assert read_baseline_tsv(str(tsv), 1) == (0.3, 0.4, 0.35)
+    via_tsv = bert_score(preds[:1], refs[:1], encoder_dir,
+                         baseline_path=str(tsv), num_layers=1)
+    # num_layers=1 embeddings differ from last-layer; just check it runs
+    assert np.isfinite(via_tsv["bert_score_f1"])
+
+
+def test_bertscore_plot_example(encoder_dir, tmp_path):
+    pytest.importorskip("matplotlib")
+    from neuspeech1_tpu.metrics.bertscore import plot_example
+
+    out = plot_example("the cat sat", "the cat sat on mat", encoder_dir,
+                       str(tmp_path / "sim.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
 def test_perplexity_matches_manual_nll(causal_dir):
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
