@@ -14,6 +14,7 @@ beam reordering by gather, early exit when all sequences finish.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -779,7 +780,21 @@ def beam_search(
                 logp = logp.reshape(B, K, V)
                 total = alive_logp[..., None] + logp  # [B, K, V]
 
-                flat = total.reshape(B, K * V)
+                # ---- flat top-2K over [B, K*V] via per-row top-2K + merge.
+                # Each beam row contributes at most 2K of the flat winners,
+                # so the beam-major pool of per-row top-2K contains them
+                # all; re-top_k over the [B, K*2K] pool reproduces the flat
+                # selection INCLUDING tie order (flat index = beam-major
+                # then vocab id; the pool is beam-major, and per-row
+                # lax.top_k is vocab-id-stable on ties). The single wide
+                # top_k over K*V=259k lanes was the most expensive op in
+                # the round-4 beam device trace (0.60 ms/token, 22% of the
+                # step); the per-row form measures ~4x cheaper on v5e and
+                # lifts beam serving 204->215 utt/s bs32 int8 (253 vs 238
+                # pipelined — BASELINE.md round 4).
+                # NEUSPEECH_BEAM_FLAT_TOPK=1 restores the wide form for
+                # A/Bs.
+                flat_topk = os.environ.get("NEUSPEECH_BEAM_FLAT_TOPK") == "1"
                 if gen.do_sample:
                     # Gumbel-top-k == multinomial without replacement on
                     # softmax(flat); banned (-1e9) entries cannot win — the
@@ -792,12 +807,48 @@ def beam_search(
                         noise = jax.random.gumbel(
                             jax.random.fold_in(rng, cur_len),
                             (B, K * V), jnp.float32)
-                    _, top_idx = lax.top_k(flat + noise, 2 * K)  # [B, 2K]
-                    top_vals = jnp.take_along_axis(flat, top_idx, axis=1)
+                    if flat_topk:
+                        flat = total.reshape(B, K * V)
+                        _, top_idx = lax.top_k(flat + noise, 2 * K)  # [B, 2K]
+                        top_vals = jnp.take_along_axis(flat, top_idx, axis=1)
+                        top_beam = top_idx // V
+                        top_tok = (top_idx % V).astype(jnp.int32)
+                    else:
+                        # rank-2 rows: XLA's fast TopK rewrite only fires
+                        # on 2-D operands; the rank-3 [B, K, V] form
+                        # lowers to a sort and measured 3.8x slower than
+                        # even the flat form in serve_bench (BASELINE.md
+                        # round 4)
+                        noised = (total.reshape(B * K, V)
+                                  + noise.reshape(B * K, V))
+                        row_nvals, row_ids = lax.top_k(noised, 2 * K)
+                        # clean (un-noised) scores of the same candidates
+                        row_vals = jnp.take_along_axis(
+                            total.reshape(B * K, V), row_ids, axis=1)
+                        pool_n = row_nvals.reshape(B, K * 2 * K)
+                        _, pool_idx = lax.top_k(pool_n, 2 * K)  # [B, 2K]
+                        top_vals = jnp.take_along_axis(
+                            row_vals.reshape(B, K * 2 * K), pool_idx, axis=1)
+                        top_beam = pool_idx // (2 * K)
+                        top_tok = jnp.take_along_axis(
+                            row_ids.reshape(B, K * 2 * K), pool_idx, axis=1
+                        ).astype(jnp.int32)
                 else:
-                    top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
-                top_beam = top_idx // V
-                top_tok = (top_idx % V).astype(jnp.int32)
+                    if flat_topk:
+                        flat = total.reshape(B, K * V)
+                        top_vals, top_idx = lax.top_k(flat, 2 * K)  # [B, 2K]
+                        top_beam = top_idx // V
+                        top_tok = (top_idx % V).astype(jnp.int32)
+                    else:
+                        # rank-2 rows (see sampling branch note)
+                        row_vals, row_ids = lax.top_k(
+                            total.reshape(B * K, V), 2 * K)  # [B*K, 2K]
+                        pool = row_vals.reshape(B, K * 2 * K)
+                        top_vals, pool_idx = lax.top_k(pool, 2 * K)  # [B, 2K]
+                        top_beam = pool_idx // (2 * K)
+                        top_tok = jnp.take_along_axis(
+                            row_ids.reshape(B, K * 2 * K), pool_idx, axis=1
+                        ).astype(jnp.int32)
 
             # a candidate "hits" a stopping criterion when it emits eos or
             # its sequence (cur_len + 1 tokens) reaches max_length
