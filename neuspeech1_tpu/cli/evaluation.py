@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
             "length-bucketed decode: 'auto' (64,128,256 under a larger "
             "max_length), 'off', or comma-separated lengths "
             "(contrastive search always runs single-bucket)")
+    add_arg("spec_gamma", int, 0,
+            "self-speculative multi-token greedy decode: gamma-token "
+            "draft-verify steps, token-exact vs plain greedy (>=2 "
+            "activates; plain greedy only — no beams/sampling/penalties)")
+    add_arg("spec_draft_from", str, None,
+            "train jsonl whose text builds the corpus n-gram drafter "
+            "tables for --spec_gamma (default: self-prefix lookup)")
     add_arg("teacher_forcing", bool, False, "argmax under gold prefix")
     add_arg("noise", bool, False, "replace inputs with noise (ablation)")
     add_arg("random_choice", bool, False, "random-label baseline")
@@ -216,6 +223,7 @@ def main(argv=None):
         timestamps=args.timestamps,  # whisper timestamp grammar
         do_sample=args.do_sample, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
+        spec_gamma=args.spec_gamma,
         decode_buckets=_serve._resolve_decode_buckets(
             args.decode_buckets, args.num_beams,
             prompt.shape[1] + args.max_new_tokens),
@@ -226,6 +234,17 @@ def main(argv=None):
         import jax as _jax
 
         sample_rng = _jax.random.key(args.sample_seed)
+    draft_table = None
+    if args.spec_gamma >= 2 and args.spec_draft_from:
+        from neuspeech1_tpu.decode.spec import build_draft_table
+        from neuspeech1_tpu.data.manifest import read_jsonlines
+
+        texts = [r["sentence"] for r in read_jsonlines(args.spec_draft_from)]
+        draft_table = {
+            k: jnp.asarray(v)
+            for k, v in build_draft_table(
+                texts, tokenizer, config.vocab_size).items()
+        }
 
     preds, refs = [], []
     rng = np.random.default_rng(0)
@@ -265,7 +284,8 @@ def main(argv=None):
                 bp = np.repeat(prompt, feats.shape[0], axis=0)
             out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
                                       stem, gen, bias_spec=bias_spec,
-                                      rng=sample_rng))
+                                      rng=sample_rng,
+                                      draft_table=draft_table))
             if args.prompt_text:
                 # drop the prompt span so its words don't leak into preds
                 out = out[:, prompt.shape[1]:]

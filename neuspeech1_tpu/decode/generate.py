@@ -85,6 +85,12 @@ class GenerationConfig:
     # 0 iterations), so typical short utterances decoded under a large
     # max_length never pay the big-buffer rate. () = single bucket.
     decode_buckets: Tuple[int, ...] = ()
+    # self-speculative multi-token greedy decode (decode/spec.py):
+    # gamma-token draft-verify steps amortize the per-token cross-cache
+    # HBM read (verify cost ratio 1.01 at gamma=2 — perf/spec_probe.py);
+    # token-exact vs greedy_decode. 0/1 = off. Plain greedy only
+    # (suppress lists ok; spec raises on stateful processors).
+    spec_gamma: int = 0
     # timestamp decoding (whisper grammar; decode/timestamps.py)
     timestamps: bool = False
     timestamp_begin: int = 50364
@@ -959,6 +965,7 @@ def generate(
     lora: Optional[Params] = None,
     bias_spec=None,
     rng=None,
+    draft_table=None,
 ):
     """Dispatch contrastive/sampling/beam-sample/greedy/beam; returns
     tokens [B, max_length]. Mode selection follows HF: contrastive when
@@ -984,6 +991,17 @@ def generate(
             bias_spec=bias_spec,
         )
     if gen.num_beams <= 1:
+        if gen.spec_gamma >= 2:
+            if bias_spec is not None:
+                raise NotImplementedError(
+                    "spec_gamma does not compose with sequence bias")
+            from neuspeech1_tpu.decode.spec import spec_greedy_decode
+
+            seq, _ = spec_greedy_decode(
+                params, features, prompt_ids, config, stem, gen,
+                gamma=gen.spec_gamma, lora=lora, draft_table=draft_table,
+            )
+            return seq
         return greedy_decode(
             params, features, prompt_ids, config, stem, gen, lora=lora,
             bias_spec=bias_spec,

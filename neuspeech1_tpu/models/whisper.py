@@ -579,6 +579,15 @@ def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora):
     Numerics identical to `attention`'s XLA path: bf16 score einsum, f32
     softmax, probs cast back for PV."""
     lora = lora or {}
+    if "k_tm" in cache:
+        return _self_decode_tm(q, k_new, v_new, cache, cache_index, mask,
+                               p, lora)
+    if "k_bt" in cache:
+        return _self_decode_bt(q, k_new, v_new, cache, cache_index, mask,
+                               p, lora)
+    if "k_tu" in cache:
+        return _self_decode_dt_unrolled(q, k_new, v_new, cache, cache_index,
+                                        mask, p, lora)
     k_t = lax.dynamic_update_slice(
         cache["k_t"], k_new.transpose(0, 2, 3, 1), (0, 0, 0, cache_index))
     v_t = lax.dynamic_update_slice(
@@ -591,6 +600,97 @@ def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora):
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhdk->bqhd", probs, v_t)
+    return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
+
+
+def _self_decode_tm(q, k_new, v_new, cache, cache_index, mask, p, lora):
+    """Incremental decode self-attention on a T-MAJOR [Tmax, B, H, Dh]
+    cache (speculative decode path). The gamma-token draft-verify loop
+    writes gamma new positions per step at a dynamic T offset; with T on
+    the lane axis (the `_self_decode_dt` layout) XLA materialized the
+    update as an unaliased read-modify-write of every (8,128) tile of the
+    whole buffer (4.3 ms/iteration of dynamic_update_slice in the gamma=4
+    device trace — more than a full greedy step). With T as the LEADING
+    logical axis any layout XLA picks keeps T major-most, so the update
+    writes gamma contiguous [B, H, Dh] slabs and aliases in place.
+
+    Same math as `_self_decode_dt` (bf16 score einsum, f32 softmax)."""
+    k_tm = lax.dynamic_update_slice(
+        cache["k_tm"], k_new.transpose(1, 0, 2, 3), (cache_index, 0, 0, 0))
+    v_tm = lax.dynamic_update_slice(
+        cache["v_tm"], v_new.transpose(1, 0, 2, 3), (cache_index, 0, 0, 0))
+    new_cache = {"k_tm": k_tm, "v_tm": v_tm}
+    dh = q.shape[-1]
+    scores = jnp.einsum("bqhd,kbhd->bhqk", q, k_tm).astype(jnp.float32)
+    scores = scores * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,kbhd->bqhd", probs, v_tm)
+    return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
+
+
+def _self_decode_dt_unrolled(q, k_new, v_new, cache, cache_index, mask, p,
+                             lora):
+    """Speculative-decode self-attention as gamma UNROLLED width-1 greedy
+    steps on the [B, H, Dh, Tmax] cache.
+
+    Why: with q-len gamma >= 2 the score op is a matmul and XLA's layout
+    pass pins the K/V cache with T on the 128-lane axis REGARDLESS of the
+    logical dim order (tried [Tmax,B,H,Dh] and [B,Tmax,H,Dh] — both got
+    T-minor layouts), which turns every dynamic-offset cache write into a
+    partial-tile read-modify-write of the whole buffer (4.3 ms/iteration
+    at whisper-base bs64, more than a full greedy step). With q-len 1 the
+    score op is a matvec and XLA picks the T-MAJOR layout where the write
+    is a contiguous aliased slab (the production greedy loop's fragment).
+    So: run the self-attention as gamma sequential width-1 writes+matvecs
+    — isomorphic to gamma greedy fragments — while cross-attention, MLP
+    and the logit projection still batch over the gamma positions (those
+    carry the HBM amortization that makes speculation pay).
+
+    In-block causality is inherent: position i's matvec runs after writes
+    0..i only; `mask[..., i, :]` excludes the stale tail."""
+    k_t, v_t = cache["k_tu"], cache["v_tu"]
+    g = q.shape[1]
+    dh = q.shape[-1]
+    outs = []
+    for i in range(g):
+        k_t = lax.dynamic_update_slice(
+            k_t, k_new[:, i:i + 1].transpose(0, 2, 3, 1),
+            (0, 0, 0, cache_index + i))
+        v_t = lax.dynamic_update_slice(
+            v_t, v_new[:, i:i + 1].transpose(0, 2, 3, 1),
+            (0, 0, 0, cache_index + i))
+        s = jnp.einsum("bqhd,bhdk->bhqk", q[:, i:i + 1], k_t)
+        s = s.astype(jnp.float32) * (dh ** -0.5)
+        if mask is not None:
+            s = jnp.where(mask[:, :, i:i + 1], s,
+                          jnp.finfo(jnp.float32).min)
+        pr = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        outs.append(jnp.einsum("bhqk,bhdk->bqhd", pr, v_t))
+    out = jnp.concatenate(outs, axis=1)
+    new_cache = {"k_tu": k_t, "v_tu": v_t}
+    return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
+
+
+def _self_decode_bt(q, k_new, v_new, cache, cache_index, mask, p, lora):
+    """Incremental decode self-attention on a [B, Tmax, H, Dh] cache
+    (speculative-decode alternative to `_self_decode_tm`): the gamma new
+    K/V rows land at a T (second-major) offset, touching only whole
+    (H, Dh) tiles — no partial-tile lane RMW, no transpose of the
+    incoming [B, gamma, H, Dh] projections."""
+    k = lax.dynamic_update_slice(
+        cache["k_bt"], k_new, (0, cache_index, 0, 0))
+    v = lax.dynamic_update_slice(
+        cache["v_bt"], v_new, (0, cache_index, 0, 0))
+    new_cache = {"k_bt": k, "v_bt": v}
+    dh = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    scores = scores * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
@@ -932,8 +1032,19 @@ def decoder_apply(
     cache_index=None,
     enc_valid_len: Optional[int] = None,
     return_hidden: bool = False,
+    pos_ids=None,
+    self_attn_mask=None,
 ):
     """Token ids [B, T] -> logits [B, T, vocab].
+
+    ``pos_ids`` / ``self_attn_mask`` (cached decode only): per-row LOGICAL
+    position ids [B, T] for the learned pos-embed gather, and a
+    [B, 1, T, Tmax] bool mask replacing the contiguous
+    ``position <= cache_index + i`` rule. Speculative (multi-token
+    draft-verify) decode needs both: per row, accepted tokens live at
+    non-contiguous PHYSICAL cache positions (rejected drafts leave
+    holes that are never re-read), while logical positions stay dense
+    (decode/spec.py).
 
     ``return_hidden`` (cached decode only): also return the final-LN
     hidden states [B, T, d] — HF's decoder ``last_hidden_state``, needed
@@ -957,12 +1068,24 @@ def decoder_apply(
         causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
         self_mask = causal
     else:
-        pos = lax.dynamic_slice(
-            dec["pos_embed"], (cache_index, 0), (t, dec["pos_embed"].shape[1])
-        ).astype(dtype)[None]
-        t_max = cache["self"][0]["k_t"].shape[-1]  # per-layer [B,H,Dh,Tmax]
-        positions = jnp.arange(t_max)[None, None, None, :]
-        self_mask = positions <= (cache_index + jnp.arange(t)[:, None]).reshape(1, 1, t, 1)
+        if pos_ids is not None:
+            pos = dec["pos_embed"][pos_ids].astype(dtype)  # [B, t, d]
+        else:
+            pos = lax.dynamic_slice(
+                dec["pos_embed"], (cache_index, 0),
+                (t, dec["pos_embed"].shape[1])
+            ).astype(dtype)[None]
+        if self_attn_mask is not None:
+            self_mask = self_attn_mask
+        else:
+            sc0 = cache["self"][0]
+            t_max = (sc0["k_tm"].shape[0] if "k_tm" in sc0
+                     else sc0["k_bt"].shape[1] if "k_bt" in sc0
+                     else sc0["k_tu"].shape[-1] if "k_tu" in sc0
+                     else sc0["k_t"].shape[-1])
+            positions = jnp.arange(t_max)[None, None, None, :]
+            self_mask = positions <= (
+                cache_index + jnp.arange(t)[:, None]).reshape(1, 1, t, 1)
     h = h + pos
 
     dec_lora = (lora or {}).get("decoder", {}).get("layers")
@@ -1105,7 +1228,8 @@ def _decode_cross_layout(config: WhisperConfig, int8_cross: bool) -> str:
 
 
 def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
-               int8_cross: bool = False, self_batch: Optional[int] = None):
+               int8_cross: bool = False, self_batch: Optional[int] = None,
+               self_t_major: bool = False):
     """Fixed-shape KV cache; cross-attention K/V precomputed from enc_out.
 
     Cache leaves are PER LAYER (tuples of per-layer dicts, no stacked [L]
@@ -1206,7 +1330,25 @@ def init_cache(params: Params, enc_out, config: WhisperConfig, max_len: int,
                 for i in range(L))
     # the true (pre-pad) kv length is re-derived statically from
     # enc_out.shape[1] inside decoder_apply — no dynamic state in the cache.
-    # self K/V are TRANSPOSED [B, H, Dh, Tmax] (see _self_decode_dt).
+    # self K/V are TRANSPOSED [B, H, Dh, Tmax] (see _self_decode_dt), or
+    # T-MAJOR [Tmax, B, H, Dh] when ``self_t_major`` (multi-token
+    # speculative decode — see _self_decode_tm for why).
+    if self_t_major:
+        mode = _os.environ.get("NEUSPEECH_SPEC_SELF", "dtu")
+        if mode == "tm":
+            zeros = jnp.zeros((max_len, self_batch or b, h, dh), dtype)
+            return {"self": tuple({"k_tm": zeros, "v_tm": zeros}
+                                  for _ in range(L)),
+                    "cross": cross}
+        if mode == "bt":
+            zeros = jnp.zeros((self_batch or b, max_len, h, dh), dtype)
+            return {"self": tuple({"k_bt": zeros, "v_bt": zeros}
+                                  for _ in range(L)),
+                    "cross": cross}
+        zeros = jnp.zeros((self_batch or b, h, dh, max_len), dtype)
+        return {"self": tuple({"k_tu": zeros, "v_tu": zeros}
+                              for _ in range(L)),
+                "cross": cross}
     zeros = jnp.zeros((self_batch or b, h, dh, max_len), dtype)
     return {"self": tuple({"k_t": zeros, "v_t": zeros} for _ in range(L)),
             "cross": cross}

@@ -58,6 +58,8 @@ class Transcriber:
         top_p: float = 1.0,
         sample_seed: int = 0,
         decode_buckets: str = "auto",
+        spec_gamma: int = 0,
+        spec_draft_from: Optional[str] = None,
     ):
         """``suppress_tokens``: 'default' derives the HF whisper suppress /
         begin-suppress lists from the tokenizer's vocab (what a downloaded
@@ -95,12 +97,29 @@ class Transcriber:
             int8_kv_cache=int8_kv_cache,
             do_sample=do_sample, temperature=temperature, top_k=top_k,
             top_p=top_p,
+            spec_gamma=spec_gamma,
             decode_buckets=_resolve_decode_buckets(
                 decode_buckets, num_beams,
                 self.prompt.shape[1] + max_new_tokens),
             **common.suppress_kwargs(suppress_tokens, self.tokenizer),
         )
         self._sample_seed = sample_seed
+        self._draft_table = None
+        if spec_draft_from:
+            # corpus n-gram drafter tables for --spec_gamma (train-jsonl
+            # text — the same source the sequence-bias builder mines)
+            import json as _json
+
+            import jax.numpy as _jnp
+
+            from neuspeech1_tpu.decode.spec import build_draft_table
+
+            texts = [
+                _json.loads(line)["sentence"]
+                for line in open(spec_draft_from)
+            ]
+            tbl = build_draft_table(texts, self.tokenizer, config.vocab_size)
+            self._draft_table = {k: _jnp.asarray(v) for k, v in tbl.items()}
 
     # ------------------------------------------------------------------
     @property
@@ -150,7 +169,8 @@ class Transcriber:
             prompt = np.repeat(self.prompt, bs, axis=0)
             out = np.asarray(
                 generate(self.params, jnp.asarray(chunk), prompt, self.config,
-                         self.stem, self.gen, rng=sample_rng)
+                         self.stem, self.gen, rng=sample_rng,
+                         draft_table=self._draft_table)
             )
             out_texts.extend(self.tokenizer.batch_decode(out[:n]))
         return out_texts

@@ -51,12 +51,19 @@ def step_fn(gamma: int):
     def step(tok, cache):
         """One gamma-token cached decoder step at a fixed mid position;
         feeds back the last position's argmax so chained calls are
-        data-dependent (the runtime caches identical executions)."""
+        data-dependent (the runtime caches identical executions).
+
+        The argmax consumes ALL gamma positions — a draft-verify step
+        needs every position's winner. (The first version argmaxed only
+        logits[:, -1]; XLA dead-code-eliminated the other gamma-1 logit
+        projections and V-wide reductions, and the probe reported a
+        1.01x gamma=2 cost ratio that the real loop could not hit.)"""
         toks = jnp.tile(tok[:, None], (1, gamma)).astype(jnp.int32)
         logits, cache = jw.decoder_apply(
             params, toks, enc, config, cache=cache, cache_index=20)
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-        return nxt, cache
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, gamma]
+        # g is a jit OUTPUT so every position's argmax is live
+        return g[:, -1], g, cache
     return step
 
 
@@ -64,7 +71,7 @@ tok0 = jnp.full((BS,), 100, jnp.int32)
 res = {}
 for gamma in (1, 2, 4, 8):
     f = step_fn(gamma)
-    tok, cache = f(tok0, cache0)
+    tok, _, cache = f(tok0, cache0)
     jax.block_until_ready(np.asarray(tok))
     K = 40
     ts = []
@@ -72,7 +79,7 @@ for gamma in (1, 2, 4, 8):
         tok, cache = tok0, cache0
         t0 = time.perf_counter()
         for _ in range(K):
-            tok, cache = f(tok, cache)
+            tok, _, cache = f(tok, cache)
         int(np.asarray(tok)[0])
         ts.append((time.perf_counter() - t0) / K)
     ms = sorted(ts)[1] * 1e3

@@ -332,3 +332,25 @@ def test_evaluate_contrastive_cli(cli_run, tmp_path_factory):
     ])
     assert "wer" in m
     assert os.path.exists(f"{d}/test_contrastive5.jsonl")
+
+
+def test_evaluate_spec_gamma_cli(cli_run, tmp_path_factory):
+    """--spec_gamma (+ --spec_draft_from corpus tables): runs end to end
+    and produces the SAME metrics as plain greedy (token-exact
+    draft-verify)."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+
+    corpus, out = cli_run
+    common = [
+        f"--test_data={corpus}/test.jsonl", "--base_model=random",
+        "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=2",
+        "--max_new_tokens=6", "--num_beams=1",
+        "--repetition_penalty=1.0", "--no_repeat_ngram_size=0",
+    ]
+    d0 = str(tmp_path_factory.mktemp("spec0"))
+    m0 = evaluate(common + [f"--output_dir={d0}"])
+    d1 = str(tmp_path_factory.mktemp("spec1"))
+    m1 = evaluate(common + [
+        "--spec_gamma=3", f"--spec_draft_from={corpus}/train.jsonl",
+        f"--output_dir={d1}"])
+    assert m0["wer"] == m1["wer"] and m0["cer"] == m1["cer"]
