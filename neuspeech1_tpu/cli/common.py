@@ -115,6 +115,19 @@ def load_full_model(model_dir: str) -> Tuple[Any, WhisperConfig, StemConfig]:
     return params, config, stem
 
 
+def commit_params(params):
+    """Put a (possibly numpy) parameter tree on device once.
+
+    Decode entry points pass `params` into jitted functions per batch;
+    numpy leaves are re-transferred host->device on EVERY call (the jit
+    executable cache only reuses committed jax.Array buffers). On the
+    tunneled TPU runtime that cost ~5 s/batch of pure weight upload in
+    the round-4 flagship serving drive."""
+    import jax
+
+    return jax.device_put(params)
+
+
 def save_adapter(path: str, trainable) -> None:
     """Save the trainable partition (lora + stem/conv2) as npz."""
     save_npz(path, trainable)

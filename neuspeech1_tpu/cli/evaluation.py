@@ -155,6 +155,10 @@ def main(argv=None):
             params, lora = common.apply_adapter(params, adapter)
             if lora:
                 params = merge_lora(params, lora)
+    # commit the weights to device ONCE: numpy leaves would be
+    # re-transferred host->device on EVERY jitted batch call (measured
+    # ~5 s/batch of pure upload on the tunneled runtime — round 4)
+    params = common.commit_params(params)
 
     # ---- data --------------------------------------------------------
     # clip padding must match the model geometry: stem stride budget 4x

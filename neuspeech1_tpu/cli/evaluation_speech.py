@@ -70,6 +70,7 @@ def main(argv=None):
         tokenizer = common.resolve_tokenizer(args.tokenizer, config)
         config = tokenizer.config
         params = common.load_base_params(args.base_model, config, stem)
+    params = common.commit_params(params)  # numpy leaves re-upload per call
 
     ds = SpeechDataset(args.test_data, tokenizer, language=args.language,
                        n_mels=config.num_mel_bins)

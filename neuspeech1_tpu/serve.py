@@ -78,7 +78,8 @@ class Transcriber:
 
             params = dequantize_params(quantize_params(params),
                                        dtype=np.float32)
-        self.params = params
+        # one-time device commit (numpy leaves re-upload per batch call)
+        self.params = common.commit_params(params)
         self.config = config
         self.stem = stem
         self.tokenizer = common.resolve_tokenizer(tokenizer, config)
