@@ -101,6 +101,11 @@ def build_draft_table(texts, tokenizer, vocab_size: int):
         k = a * vocab_size + b
         if k not in best_pair or n > best_pair[k][1]:
             best_pair[k] = (c, n)
+    if not best_pair:
+        # sentinel no-match entry: keeps the jitted searchsorted/gather
+        # lookup well-formed when the corpus has no trigrams (codes are
+        # always >= 0 so -1 never matches)
+        best_pair[-1] = (0, 0)
     keys = np.sort(np.asarray(list(best_pair.keys()), np.int64))
     vals = np.asarray([best_pair[int(k)][0] for k in keys], np.int32)
     best_uni = np.full((vocab_size,), -1, np.int32)
