@@ -111,6 +111,14 @@ def main(argv=None):
                 "--penalty_alpha needs --top_k > 1 (the candidate count; "
                 "the reference's contrastiveSearch uses top_k=5) — with "
                 f"top_k={args.top_k} contrastive search never activates")
+    if args.spec_gamma >= 2 and (
+            args.do_sample or args.num_beams > 1 or args.penalty_alpha > 0
+            or args.teacher_forcing):
+        raise SystemExit(
+            "--spec_gamma (speculative decode) only applies to plain "
+            "greedy: set --num_beams=1 and drop "
+            "--do_sample/--penalty_alpha/--teacher_forcing (generate() "
+            "would otherwise refuse; the eval default is --num_beams=5)")
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)

@@ -673,6 +673,14 @@ def beam_search(
     P = prompt_ids.shape[1]
     L = gen.max_length
     NEG = jnp.float32(-1e9)
+    if L <= P:
+        # degenerate budget (max_new_tokens=0, or a prompt consuming the
+        # whole max_length): the decode loop never runs and no beam ever
+        # finalizes — return the prompt itself (truncated) instead of the
+        # all-pad finished buffer
+        out = jnp.broadcast_to(
+            prompt_ids[:, :L].astype(jnp.int32), (B, L))
+        return out, jnp.zeros((B,), jnp.float32)
     V_stat = params["decoder"]["token_embed"].shape[0]
     C = _beam_prefilter_count(gen, V_stat, L)
     # exactness holds only for score-LOWERING processors (see the config
@@ -972,6 +980,15 @@ def generate(
     ``penalty_alpha > 0 and top_k > 1`` without sampling; beam-sample when
     ``do_sample and num_beams > 1`` (the reference's multinomial/top-k/
     top-p strategies run at num_beams=20, `utils/process_str.py:56-63`)."""
+    if gen.spec_gamma >= 2 and (
+            gen.do_sample or gen.num_beams > 1
+            or (gen.penalty_alpha > 0 and gen.top_k > 1)):
+        # fail loudly instead of silently decoding without speculation —
+        # a user benchmarking --spec_gamma with the eval CLI's default
+        # --num_beams=5 would otherwise measure plain beam search
+        raise NotImplementedError(
+            "spec_gamma only applies to plain greedy decode; unset "
+            "do_sample/num_beams/penalty_alpha or spec_gamma")
     if gen.penalty_alpha > 0 and gen.top_k > 1 and not gen.do_sample:
         return contrastive_search(
             params, features, prompt_ids, config, stem, gen, lora=lora,

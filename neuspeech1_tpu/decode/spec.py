@@ -79,15 +79,26 @@ def build_draft_table(texts, tokenizer, vocab_size: int):
     the same train-jsonl text the sequence-bias builder already mines,
     `/root/reference/utils/generation_helper.py:18-73`).
 
-    Returns {"keys": sorted int64 [K] of prev2*V+prev1 pair codes,
+    Returns {"keys": sorted uint32 [K] of prev2*V+prev1 pair codes,
              "vals": int32 [K] most-frequent follower per pair,
              "uni":  int32 [V] most-frequent follower per single token
                      (-1 = unseen)} — all jit-traversable arrays; lookup
-    is a searchsorted + gather (decode/spec.py::_table_draft)."""
+    is a searchsorted + gather (decode/spec.py::_table_draft).
+
+    Codes are uint32, NOT int64: with jax_enable_x64 off (the default
+    everywhere in this repo) int64 arrays silently truncate to int32 at
+    `jnp.asarray`, and at the real whisper vocab (V=51865, V^2 ~= 2.7e9
+    > INT32_MAX) the truncated keys are no longer sorted — searchsorted
+    then returns garbage and the drafter quietly accepts ~nothing.
+    uint32 holds V^2-1 for any V <= 65535."""
     import collections
 
     import numpy as np
 
+    if vocab_size > 0xFFFF:
+        raise ValueError(
+            f"vocab_size {vocab_size} overflows the uint32 pair-code "
+            "space (max 65535)")
     pair = collections.Counter()
     uni = collections.Counter()
     for text in texts:
@@ -103,10 +114,11 @@ def build_draft_table(texts, tokenizer, vocab_size: int):
             best_pair[k] = (c, n)
     if not best_pair:
         # sentinel no-match entry: keeps the jitted searchsorted/gather
-        # lookup well-formed when the corpus has no trigrams (codes are
-        # always >= 0 so -1 never matches)
-        best_pair[-1] = (0, 0)
-    keys = np.sort(np.asarray(list(best_pair.keys()), np.int64))
+        # lookup well-formed when the corpus has no trigrams (real codes
+        # are <= V^2-1 < NO_PAIR_CODE, and queries never produce it —
+        # see _table_draft)
+        best_pair[0xFFFFFFFF] = (0, 0)
+    keys = np.sort(np.asarray(list(best_pair.keys()), np.uint32))
     vals = np.asarray([best_pair[int(k)][0] for k in keys], np.int32)
     best_uni = np.full((vocab_size,), -1, np.int32)
     score = {}
@@ -120,14 +132,22 @@ def build_draft_table(texts, tokenizer, vocab_size: int):
 
 def _table_draft(out, out_len, t_last, gamma: int, table):
     """Corpus-table drafter: order-2 lookup (searchsorted over the sorted
-    pair codes), order-1 dense fallback, then repeat. [B] -> [B, gamma-1].
-    """
+    uint32 pair codes — int64 would silently truncate under the default
+    x64-off config, see build_draft_table), order-1 dense fallback, then
+    repeat. [B] -> [B, gamma-1]."""
     L = out.shape[1]
     V = table["uni"].shape[0]
     keys, vals, uni = table["keys"], table["vals"], table["uni"]
+    # distinct from the empty-table sentinel key 0xFFFFFFFF and above any
+    # real code (<= V^2-1 with V <= 65535): a query with no pair context
+    # (prev2 < 0) must match NOTHING, including the sentinel row
+    no_pair = jnp.uint32(0xFFFFFFFE)
 
     def follower(prev2, prev1):
-        code = prev2.astype(jnp.int64) * V + prev1.astype(jnp.int64)
+        code = jnp.where(
+            prev2 < 0, no_pair,
+            prev2.astype(jnp.uint32) * jnp.uint32(V)
+            + prev1.astype(jnp.uint32))
         i = jnp.clip(jnp.searchsorted(keys, code), 0, keys.shape[0] - 1)
         hit2 = keys[i] == code
         d2 = vals[i]

@@ -55,14 +55,20 @@ def bert_score(
     except Exception as e:  # pragma: no cover
         raise RuntimeError("bert_score requires torch + transformers") from e
 
-    if baseline_path is not None:
-        assert rescale_baseline is None, "pass one baseline source"
-        rescale_baseline = read_baseline_tsv(
-            baseline_path, 0 if num_layers is None else num_layers)
-
     tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
     model = AutoModel.from_pretrained(model_dir, local_files_only=True)
     model.eval().to(device)
+
+    if baseline_path is not None:
+        assert rescale_baseline is None, "pass one baseline source"
+        # num_layers=None embeds with last_hidden_state ==
+        # hidden_states[num_hidden_layers], so the baseline row must be
+        # the model's real layer count, NOT row 0 (the embedding layer —
+        # its baselines differ a lot and would silently mis-rescale)
+        rescale_baseline = read_baseline_tsv(
+            baseline_path,
+            model.config.num_hidden_layers if num_layers is None
+            else num_layers)
 
     def embed(texts):
         out = []
@@ -165,7 +171,9 @@ def plot_example(
     if baseline_path is not None:
         assert rescale_baseline is None, "pass one baseline source"
         rescale_baseline = read_baseline_tsv(
-            baseline_path, 0 if num_layers is None else num_layers)
+            baseline_path,
+            model.config.num_hidden_layers if num_layers is None
+            else num_layers)
     if rescale_baseline is not None:
         bf = float(rescale_baseline[2])  # fork rescales the matrix by F's
         sim = (sim - bf) / (1.0 - bf)

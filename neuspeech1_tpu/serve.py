@@ -104,21 +104,21 @@ class Transcriber:
                 self.prompt.shape[1] + max_new_tokens),
             **common.suppress_kwargs(suppress_tokens, self.tokenizer),
         )
+        if spec_gamma >= 2 and (num_beams > 1 or do_sample):
+            raise ValueError(
+                "spec_gamma only applies to plain greedy decode; unset "
+                "num_beams/do_sample or spec_gamma")
         self._sample_seed = sample_seed
         self._draft_table = None
         if spec_draft_from:
             # corpus n-gram drafter tables for --spec_gamma (train-jsonl
             # text — the same source the sequence-bias builder mines)
-            import json as _json
-
             import jax.numpy as _jnp
 
+            from neuspeech1_tpu.data.manifest import read_jsonlines
             from neuspeech1_tpu.decode.spec import build_draft_table
 
-            texts = [
-                _json.loads(line)["sentence"]
-                for line in open(spec_draft_from)
-            ]
+            texts = [r["sentence"] for r in read_jsonlines(spec_draft_from)]
             tbl = build_draft_table(texts, self.tokenizer, config.vocab_size)
             self._draft_table = {k: _jnp.asarray(v) for k, v in tbl.items()}
 

@@ -89,6 +89,7 @@ def large_train():
     stem = StemConfig("base", in_channels=208)
     config = preset_config("large", remat=True)
     for bs in (8, 4):
+        params = lora = state = frozen = None
         try:
             params = init_params(jax.random.key(0), config, stem)
             lora = init_lora(jax.random.key(1), config, rank=32, alpha=64)
@@ -113,7 +114,9 @@ def large_train():
             print(json.dumps({"config": "large_v3_train", "batch": bs,
                               "error": f"{type(e).__name__}: {str(e)[:200]}"}),
                   flush=True)
-            del params, lora
+            # release before the fallback bs (init itself may have failed
+            # with these unbound — hence the pre-try None assignment)
+            params = lora = state = frozen = None
             continue
         K = 5
         totals = []

@@ -118,3 +118,22 @@ prompt64 = np.asarray([[config.sot_id, config.first_language_id,
 timed("beam5_rp5_ngram2_int8kv_bs64",
       lambda f: beam_search(params, f, prompt64, config, stem, gen_beam),
       batch_feats=feats64, bs=BS64)
+
+# throughput-serving scale curve: bs64/bs128 greedy int8 (per-token
+# cross/weight streams scale with B, so utt/s growth past bs32 measures
+# how much of the step is still fixed per-op overhead)
+gen_g = GenerationConfig.for_model(config, max_length=P + MAX_NEW,
+                                   int8_kv_cache=True)
+timed("greedy_int8kv_bs64",
+      lambda f: greedy_decode(params, f, prompt64, config, stem, gen_g),
+      batch_feats=feats64, bs=BS64)
+BS128 = 128
+feats128 = jnp.asarray(np.random.default_rng(2)
+                       .standard_normal((BS128, 208, 6000))
+                       .astype(np.float32))
+prompt128 = np.asarray([[config.sot_id, config.first_language_id,
+                         config.transcribe_id, config.notimestamps_id]]
+                       * BS128, np.int32)
+timed("greedy_int8kv_bs128",
+      lambda f: greedy_decode(params, f, prompt128, config, stem, gen_g),
+      batch_feats=feats128, bs=BS128)

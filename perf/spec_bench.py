@@ -33,15 +33,34 @@ MAX_NEW = 48
 # the gamma-fold V-wide verify work (logit projection + argmax) is ~30x
 # smaller there than at the whisper 51865 vocab, so the iteration cost
 # ratio vs a greedy step drops accordingly
-if len(sys.argv) > 1 and sys.argv[1] == "byte":
+mode = sys.argv[1] if len(sys.argv) > 1 else "base"
+if mode == "byte":
     config = WhisperConfig(remat=False,
                            **WhisperConfig.layout_for_vocab(256))
+    stem = StemConfig("base", in_channels=208)
+elif mode == "large":
+    # whisper-large-v3 geometry (32+32, d1280, 20 heads, 128-mel speech
+    # stem) at the model-panel serving batch: spec's win should GROW with
+    # model size (the per-token cross/weight stream it amortizes is ~8x
+    # whisper-base's), so the iteration cost ratio here is the number
+    # that decides whether spec pays at the big end of the family.
+    from neuspeech1_tpu.config import preset_config
+
+    config = preset_config("large", remat=False)
+    stem = StemConfig("speech")
+    BS = 8
 else:
     config = WhisperConfig(remat=False)
-stem = StemConfig("base", in_channels=208)
+    stem = StemConfig("base", in_channels=208)
 params = init_params(jax.random.key(0), config, stem)
 rng = np.random.default_rng(0)
-feats = jnp.asarray(rng.standard_normal((BS, 208, 6000)).astype(np.float32))
+if stem.kind == "speech":
+    feats = jnp.asarray(rng.standard_normal(
+        (BS, config.num_mel_bins, config.max_source_positions * 2)
+    ).astype(np.float32))
+else:
+    feats = jnp.asarray(
+        rng.standard_normal((BS, 208, 6000)).astype(np.float32))
 prompt = np.asarray([[config.sot_id, config.first_language_id,
                       config.transcribe_id, config.notimestamps_id]] * BS,
                     np.int32)

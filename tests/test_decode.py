@@ -110,6 +110,64 @@ def test_suppress_and_force():
     np.testing.assert_array_equal(np.asarray(not_forced), np.asarray(logits))
 
 
+def test_logit_ban_forms_lower_scatter_free():
+    """Perf-regression guard: the ban/force processors must lower without
+    scatter ops — the `.at[..., ids].set(NEG_INF)` form serialized on TPU
+    (measured 155 ms/step inside the flagship greedy loop with the byte
+    tokenizer's 30 derived suppress ids vs ~3.6 ms with the dense-mask
+    `where` forms; BASELINE.md round 4)."""
+    import jax
+
+    ids = tuple(range(2, 32))
+
+    def all_processors(logits, cur_len):
+        x = lp.suppress_tokens(logits, ids)
+        x = lp.suppress_tokens_at_begin(x, cur_len, 4, ids[:3])
+        x = lp.force_tokens(x, cur_len, (2, 3), (11, 12))
+        x = lp.apply_min_new_tokens(x, cur_len, 4, 2, eos_id=5)
+        return x
+
+    hlo = jax.jit(all_processors).lower(
+        jnp.zeros((3, 64), jnp.float32), jnp.asarray(2, jnp.int32)
+    ).as_text()
+    assert "scatter" not in hlo, "logit ban/force processors reintroduced a scatter"
+
+
+def test_transcriber_commits_params_to_device(tmp_path):
+    """The Transcriber must hold a device-committed parameter tree —
+    numpy leaves re-upload host->device on EVERY jitted batch call
+    (measured 5.2 s/batch of pure weight upload on the tunneled runtime;
+    cli/common.py::commit_params). Constructs a real Transcriber from a
+    saved full-model dir (the load path yields numpy leaves) so a revert
+    of the serve.py commit is caught."""
+    import jax
+
+    from neuspeech1_tpu.cli import common
+    from neuspeech1_tpu.config import WhisperConfig
+    from neuspeech1_tpu.models.init import init_params
+    from neuspeech1_tpu.serve import Transcriber
+
+    cfg = WhisperConfig(
+        d_model=32, encoder_layers=1, decoder_layers=1, encoder_heads=2,
+        decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=32, max_target_positions=40,
+        **WhisperConfig.layout_for_vocab(256),  # byte-tokenizer layout
+    )
+    stem = StemConfig("base", in_channels=4)
+    params = jax.device_get(init_params(jax.random.key(0), cfg, stem))
+    mdir = common.save_full_model(str(tmp_path / "full_model"), params,
+                                  cfg, stem)
+    loaded, _, _ = common.load_full_model(mdir)
+    assert isinstance(jax.tree_util.tree_leaves(loaded)[0], np.ndarray), \
+        "precondition: the load path must yield numpy leaves"
+    t = Transcriber(mdir, max_new_tokens=4, batch_size=2)
+    assert all(isinstance(l, jax.Array)
+               for l in jax.tree_util.tree_leaves(t.params))
+    # spec_gamma composes only with plain greedy — misconfig must raise
+    with pytest.raises(ValueError):
+        Transcriber(mdir, num_beams=2, spec_gamma=2)
+
+
 # ----------------------------------------------------------------------
 # end-to-end generate parity vs HF on a tiny random whisper
 # ----------------------------------------------------------------------
@@ -239,6 +297,23 @@ def test_generate_with_sequence_bias_e2e(gen_pair):
                                        StemConfig("speech"), gen,
                                        bias_spec=spec))
     assert (steered[:, prompt.shape[1]] == target).all()
+
+
+def test_beam_degenerate_budget_returns_prompt(gen_pair):
+    """max_length <= prompt length: the loop never runs and nothing
+    finalizes — beam_search must return the (truncated) prompt, not the
+    all-pad finished buffer (regression, round 4)."""
+    cfg, m, params, feats, prompt = gen_pair
+    P = prompt.shape[1]
+    gen = GenerationConfig.for_model(cfg, max_length=P, num_beams=3)
+    seq, scores = beam_search(params, feats, prompt, cfg,
+                              StemConfig("speech"), gen)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(prompt))
+    gen2 = GenerationConfig.for_model(cfg, max_length=P - 1, num_beams=3)
+    seq2, _ = beam_search(params, feats, prompt, cfg,
+                          StemConfig("speech"), gen2)
+    np.testing.assert_array_equal(np.asarray(seq2),
+                                  np.asarray(prompt[:, :P - 1]))
 
 
 def test_beam1_equals_greedy(gen_pair):

@@ -117,6 +117,40 @@ def test_draft_table_lookup():
     np.testing.assert_array_equal(d[0], [ord("c"), ord("a")])
 
 
+def test_draft_table_lookup_whisper_vocab_scale():
+    """Regression: pair codes at the REAL whisper vocab (V=51865, codes up
+    to V^2 ~= 2.7e9 > INT32_MAX) must survive jnp conversion — the int64
+    form silently truncated to int32 under the default x64-off config,
+    un-sorting the keys and breaking searchsorted."""
+    from neuspeech1_tpu.decode.spec import _table_draft, build_draft_table
+
+    V = 51865
+
+    class Tok:
+        def encode(self, s):
+            # high token ids so codes exceed INT32_MAX
+            return [V - 10 + (ord(c) % 10) for c in s]
+
+    table = build_draft_table(["abcabcabc"], Tok(), V)
+    jt = {k: jnp.asarray(v) for k, v in table.items()}
+    assert jt["keys"].dtype == jnp.uint32
+    assert bool(jnp.all(jt["keys"][1:] >= jt["keys"][:-1])), "keys unsorted"
+    a, b, c = Tok().encode("abc")
+    out = jnp.asarray([[a, b, 0, 0]], jnp.int32)
+    d = np.asarray(_table_draft(
+        out, jnp.asarray([2], jnp.int32), jnp.asarray([b], jnp.int32),
+        gamma=3, table=jt))
+    np.testing.assert_array_equal(d[0], [c, a])
+    # no pair context (out_len < 2): must match nothing, including the
+    # sentinel row of an empty-trigram table
+    empty = {k: jnp.asarray(v)
+             for k, v in build_draft_table(["ab"], Tok(), V).items()}
+    d = np.asarray(_table_draft(
+        out, jnp.asarray([1], jnp.int32), jnp.asarray([a], jnp.int32),
+        gamma=2, table=empty))
+    assert d[0, 0] == b  # unigram fallback a->b, not the sentinel's val 0
+
+
 def test_spec_exact_with_draft_table(spec_pair):
     """Exactness must hold for ANY table contents (verify governs)."""
     from neuspeech1_tpu.decode.spec import build_draft_table
