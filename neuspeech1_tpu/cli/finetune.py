@@ -74,7 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("adalora_deltaT", int, 10, "AdaLoRA reallocation interval")
     add_arg("orth_reg_weight", float, 0.5, "AdaLoRA orthogonal reg weight")
     add_arg("ft_full", bool, False, "full fine-tune (no adapters)")
-    add_arg("fine_tune_layers", int, None, "adapt only the last N encoder layers")
+    add_arg("fine_tune_layers", int, None,
+            "adapt only the FIRST n encoder layers (reference "
+            "finetune.py:190 range(n) semantics)")
     add_arg("lora_model", str, None, "pretrained adapter npz to merge first")
     add_arg("lora_eeg_ch", int, None, "channel count of --lora_model's stem")
     # training (reference finetune.py:231-253)
@@ -357,10 +359,10 @@ def main(argv=None):
     if not args.ft_full:
         layer_range = None
         if args.fine_tune_layers is not None:
-            layer_range = (
-                max(config.encoder_layers - args.fine_tune_layers, 0),
-                config.encoder_layers,
-            )
+            # the reference adapts the FIRST n encoder layers:
+            # `range(args.fine_tune_layers)` at finetune.py:190
+            layer_range = (0, min(args.fine_tune_layers,
+                                  config.encoder_layers))
         if args.use_adalora:
             rank = args.lora_rank or 12
             alpha = args.lora_alpha or 32.0

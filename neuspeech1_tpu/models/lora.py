@@ -280,9 +280,10 @@ def init_lora(
     init_r=12 (`finetune.py:205-208`) — pass rank=12 with adalora=True.
 
     `layer_range=(lo, hi)` restricts adaptation to layers lo..hi-1 by zeroing
-    alpha elsewhere (the reference's `fine_tune_layers` selects the last N
-    encoder layers via module-name matching, `finetune.py:189-198` /
-    `utils/load_model.py:48-100`; alpha-masking keeps shapes static).
+    alpha elsewhere (the reference's `fine_tune_layers=n` selects the FIRST
+    n encoder layers via module-name matching — `range(n)` at
+    `finetune.py:190` / `utils/load_model.py:48-100`; alpha-masking keeps
+    shapes static).
     """
     tree: Params = {}
     for part in parts:

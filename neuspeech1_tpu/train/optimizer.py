@@ -32,11 +32,10 @@ def default_trainable_pred(
 
     default: lora/* + model/encoder/stem/* + model/encoder/conv2/*
     ft_full: everything (`finetune.py:191` ft_full branch)
-    fine_tune_layers=n: additionally the last n encoder layers are NOT
-      expressible per-layer in a stacked tree without masking; we follow the
-      adapter route instead (documented divergence — the reference's
-      fine_tune_layers picks LoRA target modules, which our LoRA tree does
-      cover via `init_lora(targets=...)`).
+    fine_tune_layers=n (reference: LoRA on the FIRST n encoder layers,
+      `finetune.py:190`) is not expressible per-layer in a stacked tree
+      without masking; the adapter route covers it instead via
+      `init_lora(layer_range=(0, n))` — see cli/finetune.py.
     """
     if ft_full:
         return lambda p: True

@@ -87,6 +87,36 @@ def test_resume_from_checkpoint(cli_run):
     assert int(jax.device_get(state.step)) == 8
 
 
+def test_fine_tune_layers_adapts_first_n(tmp_path, cli_run):
+    """--fine_tune_layers=n adapts the FIRST n encoder layers (the
+    reference builds prefixes with `range(n)`, finetune.py:190) — the
+    saved adapter must carry nonzero LoRA alpha only there."""
+    import numpy as np
+
+    from neuspeech1_tpu.cli import common
+    from neuspeech1_tpu.cli.finetune import main as finetune
+
+    corpus, _ = cli_run
+    out = str(tmp_path / "ftl")
+    geo2 = [g if not g.startswith("--encoder_layers")
+            else "--encoder_layers=2" for g in GEO]
+    finetune([
+        f"--train_data={corpus}/train.jsonl",
+        f"--val_data={corpus}/val.jsonl",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=4",
+        "--max_audio_len=0.64", "--min_audio_len=0.5",
+        "--max_steps=2", "--per_device_train_batch_size=4",
+        "--use_adalora=False", "--fine_tune_layers=1", "--lora_rank=2",
+        "--eval_steps=2", "--save_steps=2", "--logging_steps=2",
+        "--label_max_length=40", f"--output_dir={out}", *geo2,
+    ])
+    adapter = common.load_adapter(f"{out}/adapter_final.npz")
+    alpha = np.asarray(
+        adapter["lora"]["encoder"]["layers"]["self_attn"]["q"]["alpha"]
+    ).ravel()
+    assert alpha[0] != 0.0 and np.all(alpha[1:] == 0.0), alpha
+
+
 def test_manifest_tools_cli(tmp_path, tiny_corpus):
     from neuspeech1_tpu.cli.manifest_tools import main as mtool
 
