@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("eeg_ch", int, 208, "signal channels")
     add_arg("channel_slice", str, None, "named channel preset")
     add_arg("language", str, "English", "decode language")
+    add_arg("task", str, "transcribe",
+            "decode-prefix task token: transcribe|translate")
     add_arg("timestamps", bool, False, "timestamped labels")
     add_arg("filter_dataset", bool, False, "ZINNEN filter")
     add_arg("subj", int, None, "subject filter")
@@ -177,6 +179,7 @@ def main(argv=None):
     ds = EEGDataset(
         args.test_data, tokenizer, mode="test", modal_ch=args.eeg_ch,
         channel_slice=args.channel_slice, language=args.language,
+        task=args.task,
         filter_dataset=args.filter_dataset, timestamps=args.timestamps,
         subj=args.subj, max_duration=max_dur,
     )
@@ -213,13 +216,13 @@ def main(argv=None):
         # `utils/load_model.py:1258-1294` prompt_ids path)
         prompt = np.asarray(
             [tokenizer.prefix_tokens_with_prompt(
-                args.prompt_text, args.language, "transcribe",
+                args.prompt_text, args.language, args.task,
                 timestamps=args.timestamps)],
             np.int32,
         )
     else:
         prompt = np.asarray(
-            [tokenizer.prefix_tokens(args.language, "transcribe",
+            [tokenizer.prefix_tokens(args.language, args.task,
                                      timestamps=args.timestamps)],
             np.int32,
         )

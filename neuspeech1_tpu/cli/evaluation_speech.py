@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("tokenizer", str, "byte", "'byte' or HF tokenizer dir")
     add_arg("model_size", str, None, "whisper preset: tiny|base|small|medium|large")
     add_arg("language", str, "English", "decode language")
+    add_arg("task", str, "transcribe",
+            "decode-prefix task token: transcribe|translate")
     add_arg("batch_size", int, 8, "decode batch size")
     add_arg("num_beams", int, 5, "beam width")
     add_arg("repetition_penalty", float, 1.0, "repetition penalty")
@@ -73,14 +75,14 @@ def main(argv=None):
     params = common.commit_params(params)  # numpy leaves re-upload per call
 
     ds = SpeechDataset(args.test_data, tokenizer, language=args.language,
-                       n_mels=config.num_mel_bins)
+                       task=args.task, n_mels=config.num_mel_bins)
     collator = Collator(pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
                         max_label_len=128)
     loader = DataLoader(ds, collator, args.batch_size, shuffle=False,
                         drop_last=False, prefetch=2)
 
     prompt = np.asarray(
-        [tokenizer.prefix_tokens(args.language, "transcribe")], np.int32
+        [tokenizer.prefix_tokens(args.language, args.task)], np.int32
     )
     gen = GenerationConfig.for_model(
         config,

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("val_data", str, None, "validation jsonl manifest")
     add_arg("test_data", str, None, "optional test jsonl manifest")
     add_arg("language", str, "English", "dataset language (None = per-row)")
+    add_arg("task", str, "transcribe",
+            "label-prefix task token: transcribe|translate "
+            "(reference finetune.py:51)")
     add_arg("timestamps", bool, False, "train with timestamp labels")
     add_arg("combine_sentences", bool, False, "random sentence combining aug")
     add_arg("split_sentences", bool, False, "random sentence splitting aug")
@@ -191,10 +194,12 @@ def main(argv=None):
             from neuspeech1_tpu.data.dataset import SpeechDataset
 
             return SpeechDataset(path, tokenizer, language=args.language,
+                                 task=args.task,
                                  n_mels=config.num_mel_bins, mode=mode)
         return EEGDataset(
             path, tokenizer, mode=mode, modal_ch=args.eeg_ch,
             channel_slice=args.channel_slice, language=args.language,
+            task=args.task,
             filter_dataset=args.filter_dataset, timestamps=args.timestamps,
             min_duration=args.min_audio_len, max_duration=args.max_audio_len,
             combine_sentences=args.combine_sentences,
@@ -417,6 +422,7 @@ def main(argv=None):
         augment_config=device_augment,
         generate_eval_tokenizer=tokenizer if args.eval_wer else None,
         generate_eval_language=args.language,
+        generate_eval_task=args.task,
     )
     state = trainer.train(resume_from_checkpoint=args.resume_from_checkpoint)
 

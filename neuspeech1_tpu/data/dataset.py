@@ -48,6 +48,7 @@ class EEGDataset:
         channel_slice=None,
         level: str = "sentences",
         language: Optional[str] = None,
+        task: str = "transcribe",
         filter_dataset: bool = False,
         timestamps: bool = False,
         sample_rate: int = SIGNAL_SAMPLE_RATE,
@@ -66,6 +67,9 @@ class EEGDataset:
         self.level = level
         self.modal_ch = modal_ch
         self.language = language
+        # label-prefix task token (reference finetune.py:51 --task
+        # transcribe|translate, threaded into the processor's prefix)
+        self.task = task
         self.timestamps = timestamps
         self.sample_rate = sample_rate
         self.min_duration = min_duration
@@ -215,11 +219,13 @@ class EEGDataset:
         if transcript:
             if self.timestamps:
                 labels = self.tokenizer.build_timestamp_labels(
-                    transcript, language=language, level=self.level
+                    transcript, language=language, task=self.task,
+                    level=self.level,
                 )
             else:
                 text = " ".join(t["text"] for t in transcript)
-                labels = self.tokenizer.build_labels(text, language=language)
+                labels = self.tokenizer.build_labels(
+                    text, language=language, task=self.task)
         else:
             c = self.tokenizer.config
             labels = [c.sot_id, c.nocaptions_id, c.eot_id]
@@ -251,10 +257,12 @@ class EEGDataset:
         if transcript:
             if self.timestamps:
                 return self.tokenizer.build_timestamp_labels(
-                    transcript, language=language, level=self.level
+                    transcript, language=language, task=self.task,
+                    level=self.level,
                 )
             text = " ".join(t["text"] for t in transcript)
-            return self.tokenizer.build_labels(text, language=language)
+            return self.tokenizer.build_labels(
+                text, language=language, task=self.task)
         c = self.tokenizer.config
         return [c.sot_id, c.nocaptions_id, c.eot_id]
 
@@ -271,12 +279,14 @@ class SpeechDataset:
         data_list_path: str,
         tokenizer: Tokenizer,
         language: Optional[str] = None,
+        task: str = "transcribe",
         n_mels: int = 80,
         mode: str = "test",
     ):
         self.rows = mf.read_jsonlines(data_list_path)
         self.tokenizer = tokenizer
         self.language = language
+        self.task = task
         self.n_mels = n_mels
         self.mode = mode
 
@@ -293,7 +303,8 @@ class SpeechDataset:
             sr = row["speech"]["sr"]
         feats = log_mel_spectrogram(audio, n_mels=self.n_mels)
         language = row.get("language") or self.language
-        labels = self.tokenizer.build_labels(row.get("sentence", ""), language=language)
+        labels = self.tokenizer.build_labels(
+            row.get("sentence", ""), language=language, task=self.task)
         return {"input_features": feats, "labels": labels}
 
     def text(self, idx: int) -> str:

@@ -51,6 +51,7 @@ class Trainer:
         generate_eval_tokenizer=None,
         generate_eval_max_new: int = 48,
         generate_eval_language: Optional[str] = "english",
+        generate_eval_task: str = "transcribe",
     ):
         self.config = config
         self.stem = stem
@@ -108,6 +109,7 @@ class Trainer:
         self._gen_tok = generate_eval_tokenizer
         self._gen_max_new = generate_eval_max_new
         self._gen_lang = generate_eval_language
+        self._gen_task = generate_eval_task
 
     # ------------------------------------------------------------------
     def log(self, record: Dict[str, Any]):
@@ -184,7 +186,8 @@ class Trainer:
 
         tok = self._gen_tok
         params, lora = ts.model_params_of(self.state, self.frozen)
-        prompt = np.asarray([tok.prefix_tokens(self._gen_lang)], np.int32)
+        prompt = np.asarray(
+            [tok.prefix_tokens(self._gen_lang, self._gen_task)], np.int32)
         gen = GenerationConfig.for_model(
             self.config, max_length=prompt.shape[1] + self._gen_max_new
         )

@@ -125,6 +125,22 @@ def test_timestamp_dataset_labels(tiny_corpus, tiny_tok):
     assert any(t >= c.timestamp_begin for t in labels)
 
 
+def test_dataset_task_translate_prefix(tiny_corpus, tiny_tok):
+    """--task translate (reference finetune.py:51) must put the translate
+    token in the label prefix, both plain and timestamped, and in
+    get_labels (the native-loader path)."""
+    root, _ = tiny_corpus
+    c = tiny_tok.config
+    ds = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="eval",
+                    modal_ch=8, task="translate")
+    labels = ds[0]["labels"]
+    assert c.translate_id in labels and c.transcribe_id not in labels
+    assert labels == ds.get_labels(0)
+    ds_ts = EEGDataset(f"{root}/train.jsonl", tiny_tok, mode="eval",
+                       modal_ch=8, task="translate", timestamps=True)
+    assert c.translate_id in ds_ts[0]["labels"]
+
+
 def test_collator_masking_and_shift(tiny_tok):
     c = tiny_tok.config
     col = Collator(pad_id=tiny_tok.pad_id, decoder_start_id=c.sot_id)
