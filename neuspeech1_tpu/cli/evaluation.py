@@ -80,6 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
             "'default' (HF lists derived from the tokenizer vocab), "
             "'none', or comma-separated ids")
     add_arg("post_processing", bool, False, "ascii+lowercase post-processing")
+    add_arg("remove_pun", bool, False,
+            "strip punctuation from preds+labels before metrics (the "
+            "reference declares this defaulting True but never consumes "
+            "it in evaluation.py — live here, default off to match the "
+            "reference's actual behavior)")
+    add_arg("to_simple", bool, False,
+            "traditional->simplified Chinese before metrics (same "
+            "declared-but-dead reference flag, live here)")
+    add_arg("extra_name", str, None,
+            "extra token in the result basename "
+            "(reference evaluation.py:332)")
     add_arg("per_sentence", bool, False, "also write per-sentence metric rows")
     add_arg("prompt_from_labels", bool, False,
             "use each sample's own label prefix as the decode prompt "
@@ -315,6 +326,10 @@ def main(argv=None):
     if args.post_processing:  # evaluation.py:417-421
         preds = tx.convert_lower_text(tx.filter_ascii_list(preds))
         refs = tx.convert_lower_text(tx.filter_ascii_list(refs))
+    if args.remove_pun:
+        preds, refs = tx.remove_punctuation(preds), tx.remove_punctuation(refs)
+    if args.to_simple:
+        preds, refs = tx.to_simple(preds), tx.to_simple(refs)
 
     metrics = compute_battery(
         preds, refs,
@@ -335,6 +350,8 @@ def main(argv=None):
         tag += "_noise"
     if args.random_choice:
         tag += "_random"
+    if args.extra_name:
+        tag += f"_{args.extra_name}"
     out_prefix = os.path.join(args.output_dir, f"{base}_{tag}")
     files = write_results(out_prefix, preds, refs, metrics)
     if args.per_sentence:  # reference metrics/each_sentence_metrics.py

@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("language", str, "English", "decode language")
     add_arg("task", str, "transcribe",
             "decode-prefix task token: transcribe|translate")
+    add_arg("remove_pun", bool, True,
+            "strip punctuation from preds+labels before metrics (the "
+            "reference's speech eval applies it unconditionally, "
+            "evaluation_speech.py:146-147)")
     add_arg("batch_size", int, 8, "decode batch size")
     add_arg("num_beams", int, 5, "beam width")
     add_arg("repetition_penalty", float, 1.0, "repetition penalty")
@@ -105,6 +109,10 @@ def main(argv=None):
         for i in range(b):
             refs.append(tokenizer.decode(batch["labels"][i]))
 
+    if args.remove_pun:
+        from neuspeech1_tpu.utils import text as tx
+
+        preds, refs = tx.remove_punctuation(preds), tx.remove_punctuation(refs)
     metrics = compute_battery(preds, refs)
     base = os.path.splitext(os.path.basename(args.test_data))[0]
     files = write_results(
