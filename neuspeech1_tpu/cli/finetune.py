@@ -95,7 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("save_steps", int, 1000, "save interval")
     add_arg("logging_steps", int, 100, "log interval")
     add_arg("save_total_limit", int, 5, "max checkpoints kept")
-    add_arg("resume_from_checkpoint", bool, False, "resume latest checkpoint")
+    add_arg("resume_from_checkpoint", str, None,
+            "resume: True/latest = newest saved step, an integer = that "
+            "step (reference takes a checkpoint path, finetune.py:53)")
     add_arg("eval_wer", bool, False,
             "greedy-decode the val set at each eval and log WER/BLEU-1")
     add_arg("export_full_model", bool, False,
@@ -424,7 +426,15 @@ def main(argv=None):
         generate_eval_language=args.language,
         generate_eval_task=args.task,
     )
-    state = trainer.train(resume_from_checkpoint=args.resume_from_checkpoint)
+    resume = args.resume_from_checkpoint
+    if isinstance(resume, str):
+        if resume.lower() in ("false", "none", ""):
+            resume = False
+        elif resume.lower() in ("true", "latest"):
+            resume = True
+        else:
+            resume = int(resume)  # a specific saved step
+    state = trainer.train(resume_from_checkpoint=resume or False)
 
     # save final adapter (PEFT-checkpoint equivalent)
     from neuspeech1_tpu.cli.common import save_adapter

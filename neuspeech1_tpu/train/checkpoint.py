@@ -78,12 +78,19 @@ class CheckpointManager:
         )
         return True
 
-    def restore_latest(self, state):
+    def restore_latest(self, state, step=None):
         """Restore into the structure of `state`; returns the restored state
-        or None when no checkpoint exists."""
-        step = self.mgr.latest_step()
+        or None when no checkpoint exists. ``step`` targets a specific saved
+        step (the reference resumes from an explicit checkpoint dir,
+        `finetune.py:53,281`; here checkpoints are keyed by step)."""
         if step is None:
-            return None
+            step = self.mgr.latest_step()
+            if step is None:
+                return None
+        elif step not in self.mgr.all_steps():
+            raise FileNotFoundError(
+                f"no checkpoint at step {step}; saved steps: "
+                f"{sorted(self.mgr.all_steps())}")
         def abstract(x):
             if not hasattr(x, "dtype"):
                 return x

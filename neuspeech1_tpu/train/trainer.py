@@ -217,9 +217,15 @@ class Trainer:
         return batch
 
     # ------------------------------------------------------------------
-    def train(self, resume_from_checkpoint: bool = False):
+    def train(self, resume_from_checkpoint=False):
+        """``resume_from_checkpoint``: False = fresh, True = latest saved
+        step, an int (or digit string) = that specific step — the analog of
+        the reference's checkpoint-path argument (`finetune.py:53,281`)."""
         if resume_from_checkpoint:
-            restored = self.ckpt.restore_latest(self.state)
+            step = None
+            if not isinstance(resume_from_checkpoint, bool):
+                step = int(resume_from_checkpoint)
+            restored = self.ckpt.restore_latest(self.state, step=step)
             if restored is not None:
                 self.state = restored
                 print(

@@ -86,6 +86,21 @@ def test_resume_from_checkpoint(cli_run):
 
     assert int(jax.device_get(state.step)) == 8
 
+    # step-targeted resume (the reference's explicit-checkpoint path,
+    # finetune.py:53): rewind to the step-3 checkpoint (the first eval's
+    # save is unconditionally "best so far"), train to 10
+    state = finetune([
+        f"--train_data={corpus}/train.jsonl",
+        f"--val_data={corpus}/val.jsonl",
+        "--base_model=random", "--tokenizer=byte", "--eeg_ch=4",
+        "--max_audio_len=0.64", "--min_audio_len=0.5",
+        "--max_steps=10", "--per_device_train_batch_size=4",
+        "--ft_full=True", "--eval_steps=5", "--save_steps=5",
+        "--logging_steps=5", "--label_max_length=40",
+        "--resume_from_checkpoint=3", f"--output_dir={out}", *GEO,
+    ])
+    assert int(jax.device_get(state.step)) == 10
+
 
 def test_fine_tune_layers_adapts_first_n(tmp_path, cli_run):
     """--fine_tune_layers=n adapts the FIRST n encoder layers (the
