@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_arg("filter_dataset", bool, False, "ZINNEN filter")
     add_arg("subj", int, None, "subject filter")
     add_arg("batch_size", int, 16, "decode batch size")
+    add_arg("num_workers", int, 4,
+            "loader threads (reference evaluation.py:32)")
+    add_arg("min_audio_len", float, 0.5, "min clip seconds")
+    add_arg("max_audio_len", float, 30.0,
+            "max clip seconds (capped by the model's frame geometry)")
     add_arg("num_beams", int, 5, "beam width")
     add_arg("repetition_penalty", float, 5.0, "repetition penalty")
     add_arg("no_repeat_ngram_size", int, 2, "ngram ban size")
@@ -186,11 +191,12 @@ def main(argv=None):
     # (SURVEY §2 geometry invariant; 1500 frames <-> 6000 samples @200 Hz)
     from neuspeech1_tpu.config import SIGNAL_SAMPLE_RATE
 
-    max_dur = min(30.0, config.max_source_positions * 4 / SIGNAL_SAMPLE_RATE)
+    max_dur = min(args.max_audio_len,
+                  config.max_source_positions * 4 / SIGNAL_SAMPLE_RATE)
     ds = EEGDataset(
         args.test_data, tokenizer, mode="test", modal_ch=args.eeg_ch,
         channel_slice=args.channel_slice, language=args.language,
-        task=args.task,
+        task=args.task, min_duration=args.min_audio_len,
         filter_dataset=args.filter_dataset, timestamps=args.timestamps,
         subj=args.subj, max_duration=max_dur,
     )
@@ -202,7 +208,8 @@ def main(argv=None):
     from neuspeech1_tpu.data.native_loader import native_available
 
     loader = DataLoader(ds, collator, args.batch_size, shuffle=False,
-                        drop_last=False, prefetch=2,
+                        drop_last=False, num_threads=args.num_workers,
+                        prefetch=2,
                         native_signals=native_available()
                         and ds.supports_native_signals())
 

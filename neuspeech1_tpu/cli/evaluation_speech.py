@@ -32,6 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
             "reference's speech eval applies it unconditionally, "
             "evaluation_speech.py:146-147)")
     add_arg("batch_size", int, 8, "decode batch size")
+    add_arg("num_workers", int, 4, "loader threads")
     add_arg("num_beams", int, 5, "beam width")
     add_arg("repetition_penalty", float, 1.0, "repetition penalty")
     add_arg("no_repeat_ngram_size", int, 0, "ngram ban")
@@ -83,7 +84,8 @@ def main(argv=None):
     collator = Collator(pad_id=tokenizer.pad_id, decoder_start_id=config.sot_id,
                         max_label_len=128)
     loader = DataLoader(ds, collator, args.batch_size, shuffle=False,
-                        drop_last=False, prefetch=2)
+                        drop_last=False, num_threads=args.num_workers,
+                        prefetch=2)
 
     prompt = np.asarray(
         [tokenizer.prefix_tokens(args.language, args.task)], np.int32
