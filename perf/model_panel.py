@@ -138,10 +138,9 @@ def large_train():
         return
 
 
-def large_decode():
+def large_decode(bs: int = 8, int8: bool = False):
     from neuspeech1_tpu.decode.generate import GenerationConfig, greedy_decode
 
-    bs = 8
     config = preset_config("large", remat=True)
     stem = StemConfig("speech")  # 128-mel speech stem (large-v3 frontend)
     params = init_params(jax.random.key(0), config, stem)
@@ -155,7 +154,8 @@ def large_decode():
     res = {}
     for max_new in (8, 32):
         gen = GenerationConfig.for_model(
-            config, max_length=prompt.shape[1] + max_new)
+            config, max_length=prompt.shape[1] + max_new,
+            int8_kv_cache=int8)
         out = greedy_decode(params, feats, prompt, config, stem, gen)
         np.asarray(out)
         times = []
@@ -169,7 +169,8 @@ def large_decode():
         res[max_new] = sorted(times)[1]
     slope = (res[32] - res[8]) / 24 * 1e3
     print(json.dumps({
-        "config": "large_v3_decode", "batch": bs,
+        "config": "large_v3_decode" + ("_int8kv" if int8 else ""),
+        "batch": bs,
         "ms8": round(res[8] * 1e3, 1), "ms32": round(res[32] * 1e3, 1),
         "ms_per_token": round(slope, 2),
         "tok_per_sec": round(bs / (slope / 1e3), 0),
@@ -182,4 +183,7 @@ if __name__ == "__main__":
     rows = sys.argv[1:] or ["small_train", "large_train", "large_decode"]
     for r in rows:
         {"small_train": small_train, "large_train": large_train,
-         "large_decode": large_decode}[r]()
+         "large_decode": large_decode,
+         # int8 KV + serving batch: the family's throughput-serving row
+         "large_decode_int8_bs32": lambda: large_decode(bs=32, int8=True),
+        }[r]()
