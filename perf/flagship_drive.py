@@ -105,6 +105,37 @@ def phase_b():
     _summarize("B_adalora_published", out)
 
 
+def phase_c():
+    """The reference's OTHER adapter config: plain LoRA r=32 alpha=64
+    (`use_adalora=False`, `/root/reference/finetune.py:210-211`) on the
+    same domain-shift corpus as phase B — completes the adapter matrix
+    (ft_full / AdaLoRA-published / LoRA-published) on-chip."""
+    from neuspeech1_tpu.cli.finetune import main as finetune
+    from neuspeech1_tpu.data.synthetic import make_separable_corpus
+
+    corpus = os.path.join(ROOT, "corpusB")
+    out = os.path.join(ROOT, "runC")
+    base = os.path.join(ROOT, "runA", "full_model", "params.npz")
+    assert os.path.exists(base), f"run phase A first ({base} missing)"
+    if not os.path.exists(os.path.join(corpus, "train.jsonl")):
+        make_separable_corpus(corpus, n_clips=240, n_channels=208, seed=11,
+                              freq_order=[3, 0, 4, 1, 5, 2])
+    finetune([
+        f"--train_data={corpus}/train.jsonl",
+        f"--val_data={corpus}/test.jsonl",
+        f"--base_model={base}", "--tokenizer=byte", "--eeg_ch=208",
+        "--max_steps=600", "--per_device_train_batch_size=32",
+        "--per_device_eval_batch_size=32",
+        # the published plain-LoRA config (reference finetune.py:210-211)
+        "--use_adalora=False", "--lora_rank=32", "--lora_alpha=64",
+        "--learning_rate=0.001", "--warmup_steps=100",
+        "--eval_steps=300", "--save_steps=300", "--logging_steps=50",
+        "--label_max_length=32", "--eval_wer=True", "--remat=False",
+        f"--output_dir={out}",
+    ])
+    _summarize("C_lora_published", out)
+
+
 if __name__ == "__main__":
     which = (sys.argv[1] if len(sys.argv) > 1 else "AB").upper()
     os.makedirs(ROOT, exist_ok=True)
@@ -112,3 +143,5 @@ if __name__ == "__main__":
         phase_a()
     if "B" in which:
         phase_b()
+    if "C" in which:
+        phase_c()
