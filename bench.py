@@ -215,16 +215,22 @@ def main():
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / A100_EST_SAMPLES_PER_SEC, 3),
-        "train_step_ms": round(dt * 1e3, 1),
-        "mfu": round(mfu, 3),
         # utilisation against the ~131 TF/s usable bf16 rate measured on
         # this chip (chained matmul8192 probe) — the physically honest
-        # ceiling; see BASELINE.md "North-star reconciliation"
+        # ceiling; see BASELINE.md "North-star reconciliation". Leads the
+        # comparison fields so the first ratio a reader sees is the one
+        # against a reachable number.
         "mfu_of_usable": round(
             samples_per_sec * 3.0 * flops / V5E_USABLE_BF16_FLOPS, 3),
         "bf16_ceiling_samples_per_sec": round(
             V5E_USABLE_BF16_FLOPS / (3.0 * flops), 1),
+        # the reference repo publishes no numbers (BASELINE.md); this is
+        # the ratio against an ANALYTIC A100 estimate, not a measurement
+        "vs_analytic_a100_estimate": round(
+            samples_per_sec / A100_EST_SAMPLES_PER_SEC, 3),
+        "vs_baseline": round(samples_per_sec / A100_EST_SAMPLES_PER_SEC, 3),
+        "train_step_ms": round(dt * 1e3, 1),
+        "mfu": round(mfu, 3),
         "fwd_gflops_per_sample": round(flops / 1e9, 1),
         "remat": config.remat,  # which config actually ran (False = fast path)
     }

@@ -131,12 +131,15 @@ def main(argv=None):
                 f"top_k={args.top_k} contrastive search never activates")
     if args.spec_gamma >= 2 and (
             args.do_sample or args.num_beams > 1 or args.penalty_alpha > 0
-            or args.teacher_forcing):
+            or args.teacher_forcing or args.repetition_penalty != 1.0
+            or args.no_repeat_ngram_size):
         raise SystemExit(
             "--spec_gamma (speculative decode) only applies to plain "
-            "greedy: set --num_beams=1 and drop "
-            "--do_sample/--penalty_alpha/--teacher_forcing (generate() "
-            "would otherwise refuse; the eval default is --num_beams=5)")
+            "greedy: set --num_beams=1 --repetition_penalty=1.0 "
+            "--no_repeat_ngram_size=0 (the eval defaults are beams=5, "
+            "rp=5.0, ngram=2) and drop --do_sample/--penalty_alpha/"
+            "--teacher_forcing (spec._check_supported would otherwise "
+            "refuse mid-run)")
     from neuspeech1_tpu.utils.args import print_arguments
 
     print_arguments(args)

@@ -433,8 +433,8 @@ def main(argv=None):
         elif resume.lower() in ("true", "latest"):
             resume = True
         else:
-            resume = int(resume)  # a specific saved step
-    state = trainer.train(resume_from_checkpoint=resume or False)
+            resume = int(resume)  # a specific saved step (0 is valid)
+    state = trainer.train(resume_from_checkpoint=resume)
 
     # save final adapter (PEFT-checkpoint equivalent)
     from neuspeech1_tpu.cli.common import save_adapter

@@ -218,10 +218,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, resume_from_checkpoint=False):
-        """``resume_from_checkpoint``: False = fresh, True = latest saved
-        step, an int (or digit string) = that specific step — the analog of
-        the reference's checkpoint-path argument (`finetune.py:53,281`)."""
-        if resume_from_checkpoint:
+        """``resume_from_checkpoint``: False/None = fresh, True = latest
+        saved step, an int (or digit string) = that specific step — the
+        analog of the reference's checkpoint-path argument
+        (`finetune.py:53,281`). Identity (not truthiness) check so a
+        step-0 checkpoint resumes instead of silently starting fresh."""
+        if resume_from_checkpoint is not False and \
+                resume_from_checkpoint is not None:
             step = None
             if not isinstance(resume_from_checkpoint, bool):
                 step = int(resume_from_checkpoint)

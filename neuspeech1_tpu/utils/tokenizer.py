@@ -374,7 +374,18 @@ class WordTokenizer(Tokenizer):
 
 
 class HFTokenizerAdapter(Tokenizer):
-    """Wrap a local HF WhisperTokenizer (no network access is assumed)."""
+    """Wrap a local HF WhisperTokenizer (no network access is assumed).
+
+    The special-token LAYOUT (eot/sot/language block/task ids/timestamp
+    block) is derived from the loaded vocabulary and overlaid on the given
+    config: a multilingual base tokenizer reproduces the default 51865
+    layout exactly, while a large-v3 tokenizer (100 languages, vocab
+    51866) or a test fixture with a tiny text vocab gets correct ids
+    instead of silently inheriting the default layout. Geometry fields
+    (d_model, layers, ...) of the provided config are preserved — the
+    analog of the reference trusting `WhisperProcessor.from_pretrained`
+    (`finetune.py:70-74`) to agree with its checkpoint.
+    """
 
     def __init__(self, path_or_tokenizer, config: Optional[WhisperConfig] = None):
         if isinstance(path_or_tokenizer, str):
@@ -385,9 +396,55 @@ class HFTokenizerAdapter(Tokenizer):
             )
         else:
             self.hf = path_or_tokenizer
+        layout = self._derive_layout(self.hf)
         if config is None:
-            config = WhisperConfig()
+            config = WhisperConfig(**layout) if layout else WhisperConfig()
+        elif layout:
+            import dataclasses
+
+            config = dataclasses.replace(config, **layout)
         super().__init__(config)
+
+    @staticmethod
+    def _derive_layout(hf) -> dict:
+        """Layout fields from the tokenizer's own vocab; {} when the vocab
+        does not carry the canonical Whisper special tokens (then the
+        caller's config is trusted as-is)."""
+        unk = hf.unk_token_id
+
+        def tid(tok):
+            i = hf.convert_tokens_to_ids(tok)
+            return None if i is None or (i == unk and tok != hf.unk_token) \
+                else int(i)
+
+        eot = tid("<|endoftext|>")
+        sot = tid("<|startoftranscript|>")
+        translate = tid("<|translate|>")
+        transcribe = tid("<|transcribe|>")
+        startoflm = tid("<|startoflm|>")
+        startofprev = tid("<|startofprev|>")
+        # the no-speech token was renamed upstream; accept either spelling
+        nocap = tid("<|nospeech|>")
+        if nocap is None:
+            nocap = tid("<|nocaptions|>")
+        notimestamps = tid("<|notimestamps|>")
+        need = (eot, sot, translate, transcribe, startoflm, startofprev,
+                nocap, notimestamps)
+        if any(v is None for v in need):
+            return {}
+        first_lang = sot + 1  # canonical layout: language block follows sot
+        # 1501 timestamp tokens follow <|notimestamps|>; older local
+        # tokenizer files do not register them as added tokens, so take
+        # the larger of the registered length and the canonical block end
+        return dict(
+            vocab_size=max(len(hf), notimestamps + 1 + 1501),
+            eot_id=eot, sot_id=sot,
+            first_language_id=first_lang,
+            num_languages=translate - first_lang,
+            translate_id=translate, transcribe_id=transcribe,
+            startoflm_id=startoflm, startofprev_id=startofprev,
+            nocaptions_id=nocap, notimestamps_id=notimestamps,
+        )
 
     def encode(self, text: str) -> List[int]:
         return self.hf.encode(text, add_special_tokens=False)

@@ -11,8 +11,17 @@ final loss.
 
 Methodology per CLAUDE.md: K chained data-dependent steps, ONE final
 device->host loss fetch, median of 3.
+
+Usage: python perf/int8_train_ab.py [base|large]
+  base  (default) — whisper-base, bs64, remat=False (round-4 verdict:
+        clean reject, bf16 200.2 vs int8-full 280.1 ms/step)
+  large — whisper-LARGE-V3 geometry (d1280, 32+32, 20 heads), bs4,
+        remat=True: settles BASELINE.md's "int8 turns favourable at
+        large widths" extrapolation with a measurement (round-4 VERDICT
+        item 4 — the dot/quantize ratio grows with d_model).
 """
 import json
+import sys
 import time
 
 import jax
@@ -20,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neuspeech1_tpu import enable_compilation_cache
-from neuspeech1_tpu.config import StemConfig, WhisperConfig
+from neuspeech1_tpu.config import StemConfig, WhisperConfig, preset_config
 from neuspeech1_tpu.models.init import init_params
 from neuspeech1_tpu.models.lora import init_lora
 from neuspeech1_tpu.train import optimizer as opt
@@ -28,8 +37,14 @@ from neuspeech1_tpu.train import trainstep as ts
 
 enable_compilation_cache()
 
+GEOMETRY = (sys.argv[1] if len(sys.argv) > 1 else "base").lower()
 stem = StemConfig("base", in_channels=208)
-B, L = 64, 64
+if GEOMETRY == "large":
+    B, L = 4, 64
+    REMAT = True
+else:
+    B, L = 64, 64
+    REMAT = False
 rng = np.random.default_rng(0)
 batch = {
     "input_features": jnp.asarray(
@@ -41,8 +56,9 @@ batch = {
 }
 
 
-def build(int8: str, remat: bool = False):
-    config = WhisperConfig(remat=remat)
+def build(int8: str, remat: bool = REMAT):
+    config = (preset_config("large", remat=remat) if GEOMETRY == "large"
+              else WhisperConfig(remat=remat))
     params = init_params(jax.random.key(0), config, stem)
     lora = init_lora(jax.random.key(1), config, rank=32, alpha=64)
     tx = opt.make_optimizer(peak_lr=1e-3, warmup_steps=500,
@@ -54,7 +70,7 @@ def build(int8: str, remat: bool = False):
     return state, frozen, step
 
 
-def timed(tag, int8, K=20, remat=False):
+def timed(tag, int8, K=20, remat=REMAT):
     try:
         state, frozen, step = build(int8, remat=remat)
         state, m = step(state, frozen, batch)
@@ -91,11 +107,12 @@ def trajectory(int8, K=12):
 
 
 if __name__ == "__main__":
-    t_off = timed("bf16_exact", "off")
-    t_fwd = timed("int8_fwd", "fwd")
-    t_full = timed("int8_full", "full")
+    K = 8 if GEOMETRY == "large" else 20  # large step is ~300 ms
+    t_off = timed(f"bf16_exact_{GEOMETRY}", "off", K=K)
+    t_fwd = timed(f"int8_fwd_{GEOMETRY}", "fwd", K=K)
+    t_full = timed(f"int8_full_{GEOMETRY}", "full", K=K)
     if t_off and t_full:
-        print(json.dumps({"k": "speedup_full_vs_bf16",
+        print(json.dumps({"k": f"speedup_full_vs_bf16_{GEOMETRY}",
                           "x": round(t_off / t_full, 3)}), flush=True)
     l_off = trajectory("off")
     l_full = trajectory("full")

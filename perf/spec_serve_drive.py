@@ -57,8 +57,13 @@ table = {k: jnp.asarray(v)
 
 
 def timed(tag, fn):
+    # the warmup decode runs on the UNPERTURBED feats: this is the output
+    # used for the greedy-vs-spec token-equality check, so both configs are
+    # guaranteed to be decoding the same input (the timed iterations below
+    # each perturb from their own previous output, so their final sequences
+    # are not comparable across configs)
     out = fn(feats)
-    seqs = np.asarray(out[0] if isinstance(out, tuple) else out)
+    first = np.asarray(out[0] if isinstance(out, tuple) else out)
     iters = int(out[1]) if isinstance(out, tuple) else None
     times = []
     f = feats
@@ -75,7 +80,7 @@ def timed(tag, fn):
     if iters is not None:
         rec["loop_iters"] = iters
     print(json.dumps(rec), flush=True)
-    return seqs
+    return first
 
 
 gold = timed("greedy_int8kv",

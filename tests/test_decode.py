@@ -332,11 +332,13 @@ def test_beam1_equals_greedy(gen_pair):
     for i in range(feats.shape[0]):
         g = greedy[i]
         b = beam[i]
-        # compare up to greedy's first eos (beam stores hyp w/o the eos)
+        # compare THROUGH greedy's first eos: under the HF-4.57 semantics
+        # the finalized beam hypothesis includes the hitting eos token
         n = P
         while n < len(g) and g[n] != gen1.eos_id:
             n += 1
-        np.testing.assert_array_equal(b[:n], g[:n], err_msg=f"row {i}")
+        end = min(n + 1, len(g))  # include the eos position when present
+        np.testing.assert_array_equal(b[:end], g[:end], err_msg=f"row {i}")
 
 
 def test_generate_with_sharded_params(gen_pair):
