@@ -53,13 +53,15 @@ def timed(tag, fn, batch_feats=None, bs=None):
         print(json.dumps({"config": tag, "error": str(e)[:200]}), flush=True)
 
 
-def timed_pipelined(tag, fn, depth=2, iters=6):
+def timed_pipelined(tag, fn, depth=2, iters=6, batch_feats=None, bs=None):
     """Throughput with depth-2 in-flight dispatch: host syncs batch N-depth
     while the device runs batch N — the real serving loop's overlap (detok
     on host while the next batch decodes). Inputs are distinct
     device-resident arrays so the runtime cannot dedupe executions."""
+    bs = bs or BS
+    batch_feats = feats if batch_feats is None else batch_feats
     try:
-        fs = [np.asarray(feats) * (1.0 + i * 1e-6) for i in range(iters)]
+        fs = [np.asarray(batch_feats) * (1.0 + i * 1e-6) for i in range(iters)]
         fs = [jnp.asarray(f) for f in fs]
         out = fn(fs[0])
         np.asarray(out[0] if isinstance(out, tuple) else out)
@@ -77,10 +79,10 @@ def timed_pipelined(tag, fn, depth=2, iters=6):
             np.asarray(o[0] if isinstance(o, tuple) else o)
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({
-            "config": tag, "batch": BS, "new_tokens": MAX_NEW,
+            "config": tag, "batch": bs, "new_tokens": MAX_NEW,
             "pipeline_depth": depth,
             "ms_per_batch": round(dt * 1e3, 1),
-            "utterances_per_sec": round(BS / dt, 1),
+            "utterances_per_sec": round(bs / dt, 1),
         }), flush=True)
     except Exception as e:
         print(json.dumps({"config": tag, "error": str(e)[:200]}), flush=True)
@@ -118,6 +120,14 @@ prompt64 = np.asarray([[config.sot_id, config.first_language_id,
 timed("beam5_rp5_ngram2_int8kv_bs64",
       lambda f: beam_search(params, f, prompt64, config, stem, gen_beam),
       batch_feats=feats64, bs=BS64)
+# the recommended reference-eval serving configuration (round-4 VERDICT
+# item 5): the published eval mode (beam-5/rp5.0/ngram-2,
+# evaluation.py:369-386) at the recommended bs64 WITH the bs32-winning
+# depth-2 pipelining
+timed_pipelined(
+    "beam5_rp5_ngram2_int8kv_bs64_pipelined",
+    lambda f: beam_search(params, f, prompt64, config, stem, gen_beam),
+    batch_feats=feats64, bs=BS64)
 
 # throughput-serving scale curve: bs64/bs128 greedy int8 (per-token
 # cross/weight streams scale with B, so utt/s growth past bs32 measures
