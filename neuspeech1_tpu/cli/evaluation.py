@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import time
 
 import numpy as np
 
@@ -97,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
             "extra token in the result basename "
             "(reference evaluation.py:332)")
     add_arg("per_sentence", bool, False, "also write per-sentence metric rows")
+    add_arg("timing", bool, False,
+            "print a wall-clock phase breakdown (setup / load / decode / "
+            "detokenize / metrics) at the end — serving-path observability")
+    add_arg("upload_dtype", str, "auto",
+            "feature host->device upload dtype: 'auto' = the model compute "
+            "dtype (bf16 halves upload bytes and is numerically identical "
+            "because the encoder casts on entry), or 'float32'/'bfloat16'")
     add_arg("prompt_from_labels", bool, False,
             "use each sample's own label prefix as the decode prompt "
             "(reference's non-English path, evaluation.py:357-359)")
@@ -113,6 +121,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    t_start = time.perf_counter()
     args = build_parser().parse_args(argv)
     # contrastive search (penalty_alpha) is a deterministic mode: the
     # dispatcher only runs it when do_sample is False and top_k > 1 —
@@ -284,11 +293,26 @@ def main(argv=None):
 
     preds, refs = [], []
     rng = np.random.default_rng(0)
-    for batch in loader:
+    # --timing phase accounting: 'decode' spans host->device feature
+    # upload + the generate dispatch + the output fetch (one sync);
+    # 'load' is manifest->collated-batch production (np.load + pad +
+    # tokenize on loader threads); detok/metrics are pure host.
+    timing = {"setup": time.perf_counter() - t_start, "load": 0.0,
+              "decode": 0.0, "detok": 0.0, "metrics": 0.0}
+    up_dtype = (jnp.dtype(config.dtype) if args.upload_dtype == "auto"
+                else jnp.dtype(args.upload_dtype))
+
+    def _prep(batch):
+        """Host-side batch prep + feature upload (depth-1 prefetch buffer).
+
+        Features are pre-cast to ``up_dtype`` BEFORE upload: the encoder's
+        first op is astype(config.dtype) (models/whisper.py encoder_apply),
+        so casting on host is numerically identical while the tunnel moves
+        half the bytes — the round-5 e2e eval drive measured the float32
+        feature upload at ~6 s of the 6.3 s/batch decode phase."""
         feats = batch["input_features"]
         if args.noise:  # noise-input ablation (evaluation.py:354-355)
             feats = rng.standard_normal(feats.shape).astype(np.float32)
-        labels = batch["labels"]
         b = feats.shape[0]
         # pad the final partial batch to the static batch size so decode
         # does not recompile for one leftover shape; trim outputs after
@@ -297,31 +321,57 @@ def main(argv=None):
             feats = np.concatenate(
                 [feats, np.repeat(feats[-1:], pad_n, axis=0)], axis=0
             )
+        return batch, b, jnp.asarray(np.asarray(feats).astype(up_dtype))
+
+    batch_iter = iter(loader)
+    t_phase = time.perf_counter()
+    nxt = next(batch_iter, None)
+    cur = _prep(nxt) if nxt is not None else None
+    timing["load"] += time.perf_counter() - t_phase
+    while cur is not None:
+        batch, b, feats_dev = cur
+        labels = batch["labels"]
+        t_phase = time.perf_counter()
         if args.teacher_forcing:
-            out = np.asarray(teacher_forcing_predict(
-                params, jnp.asarray(feats), jnp.asarray(batch["decoder_input_ids"]),
-                config, stem))
-            # shift: prediction at position t-1 predicts token t
-            for i in range(b):
-                lab = labels[i]
-                n = int((lab != LABEL_IGNORE_ID).sum())
-                preds.append(tokenizer.decode(out[i][: n]))
+            out_dev = teacher_forcing_predict(
+                params, feats_dev, jnp.asarray(batch["decoder_input_ids"]),
+                config, stem)
         else:
             if args.prompt_from_labels:
                 # per-sample prompt [sot, lang, task(, nots)] from the gold
                 # prefix — bilingual-safe (reference labels[:, :4] path)
                 P = prompt.shape[1]
                 bp = np.asarray(batch["decoder_input_ids"][:, :P], np.int32)
-                if bp.shape[0] < feats.shape[0]:
+                if bp.shape[0] < feats_dev.shape[0]:
                     bp = np.concatenate(
-                        [bp, np.repeat(bp[-1:], feats.shape[0] - bp.shape[0],
+                        [bp, np.repeat(bp[-1:],
+                                       feats_dev.shape[0] - bp.shape[0],
                                        axis=0)], axis=0)
             else:
-                bp = np.repeat(prompt, feats.shape[0], axis=0)
-            out = np.asarray(generate(params, jnp.asarray(feats), bp, config,
-                                      stem, gen, bias_spec=bias_spec,
-                                      rng=sample_rng,
-                                      draft_table=draft_table))
+                bp = np.repeat(prompt, feats_dev.shape[0], axis=0)
+            out_dev = generate(params, feats_dev, bp, config,
+                               stem, gen, bias_spec=bias_spec,
+                               rng=sample_rng,
+                               draft_table=draft_table)
+        timing["decode"] += time.perf_counter() - t_phase
+        # prefetch: produce and upload the NEXT batch while this decode is
+        # in flight on device — the np.asarray fetch below is the only
+        # sync point, so loader I/O and the next upload overlap the decode
+        t_phase = time.perf_counter()
+        nxt = next(batch_iter, None)
+        cur = _prep(nxt) if nxt is not None else None
+        timing["load"] += time.perf_counter() - t_phase
+        t_phase = time.perf_counter()
+        out = np.asarray(out_dev)
+        timing["decode"] += time.perf_counter() - t_phase
+        t_phase = time.perf_counter()
+        if args.teacher_forcing:
+            # shift: prediction at position t-1 predicts token t
+            for i in range(b):
+                lab = labels[i]
+                n = int((lab != LABEL_IGNORE_ID).sum())
+                preds.append(tokenizer.decode(out[i][: n]))
+        else:
             if args.prompt_text:
                 # drop the prompt span so its words don't leak into preds
                 out = out[:, prompt.shape[1]:]
@@ -329,6 +379,7 @@ def main(argv=None):
         for i in range(b):
             lab = labels[i]
             refs.append(tokenizer.decode(lab))
+        timing["detok"] += time.perf_counter() - t_phase
 
     if args.random_choice:  # evaluation.py:461-476
         preds = random_choice_baseline(refs, seed=0)
@@ -341,11 +392,13 @@ def main(argv=None):
     if args.to_simple:
         preds, refs = tx.to_simple(preds), tx.to_simple(refs)
 
+    t_phase = time.perf_counter()
     metrics = compute_battery(
         preds, refs,
         bertscore_model=args.bertscore_model,
         perplexity_model=args.perplexity_model,
     )
+    timing["metrics"] = time.perf_counter() - t_phase
     base = os.path.splitext(os.path.basename(args.test_data))[0]
     if args.teacher_forcing:
         tag = "tf"
@@ -369,12 +422,18 @@ def main(argv=None):
 
         from neuspeech1_tpu.metrics.battery import per_sentence_metrics
 
+        t_phase = time.perf_counter()
         rows = per_sentence_metrics(preds, refs)
         ps_path = out_prefix + "_per_sentence.jsonl"
         with open(ps_path, "w", encoding="utf-8") as f:
             for pred, ref, row in zip(preds, refs, rows):
                 f.write(_json.dumps({"pred": pred, "label": ref, **row}) + "\n")
         files["per_sentence"] = ps_path
+        timing["per_sentence"] = time.perf_counter() - t_phase
+    if args.timing:
+        timing["total"] = time.perf_counter() - t_start
+        print("[evaluation] timing "
+              + str({k: round(v, 2) for k, v in timing.items()}))
     print({k: round(float(v), 4) for k, v in metrics.items()})
     print(f"[evaluation] wrote {files}")
     return metrics

@@ -43,7 +43,7 @@ def main():
         "--tokenizer=byte", "--eeg_ch=208", f"--batch_size={BS}",
         # the reference's published eval mode: defaults already give
         # beam-5 / repetition_penalty 5.0 / no_repeat_ngram 2
-        "--max_new_tokens=32", "--per_sentence=True",
+        "--max_new_tokens=32", "--per_sentence=True", "--timing=True",
         f"--output_dir={out}",
     ])
     wall = time.perf_counter() - t0

@@ -399,3 +399,54 @@ def test_evaluate_spec_gamma_cli(cli_run, tmp_path_factory):
         "--spec_gamma=3", f"--spec_draft_from={corpus}/train.jsonl",
         f"--output_dir={d1}"])
     assert m0["wer"] == m1["wer"] and m0["cer"] == m1["cer"]
+
+
+def test_evaluate_upload_dtype_parity(cli_run, tmp_path_factory):
+    """bf16 feature upload is numerically identical to float32 upload:
+    encoder_apply's FIRST op is astype(config.dtype), so pre-casting on
+    host commutes (both are one round-to-nearest-even f32->bf16). The
+    round-5 e2e eval drive measured the float32 feature upload at ~95%
+    of the decode phase on the tunneled runtime — --upload_dtype=auto
+    halves those bytes for free. Exercises the partial-final-batch pad
+    path too (6 clips, bs 4)."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+
+    corpus, out = cli_run
+    preds = {}
+    for up in ("float32", "bfloat16"):
+        d = str(tmp_path_factory.mktemp(f"upload_{up}"))
+        evaluate([
+            f"--test_data={corpus}/test.jsonl", "--base_model=random",
+            "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=4",
+            "--num_beams=2", "--max_new_tokens=6", "--timing=True",
+            f"--upload_dtype={up}", f"--output_dir={d}",
+        ])
+        rows = [json.loads(l) for l in open(f"{d}/test_beam2.jsonl")]
+        assert rows
+        preds[up] = [r["pred"] for r in rows]
+    assert preds["float32"] == preds["bfloat16"]
+
+
+def test_evaluate_controls_cli(cli_run, tmp_path_factory):
+    """The reference's scientific controls through the CLI decode loop:
+    --teacher_forcing (argmax under the gold prefix, evaluation.py:387-404),
+    --noise (evaluation.py:354-355), --random_choice (derangement baseline,
+    evaluation.py:461-476) run end to end through the prefetched loop and
+    tag their result files."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+
+    corpus, out = cli_run
+    common = [
+        f"--test_data={corpus}/test.jsonl", "--base_model=random",
+        "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=4",
+        "--num_beams=2", "--max_new_tokens=6",
+    ]
+    d = str(tmp_path_factory.mktemp("ctl_tf"))
+    m = evaluate(common + ["--teacher_forcing=True", f"--output_dir={d}"])
+    assert "wer" in m and os.path.exists(f"{d}/test_tf.jsonl")
+    d = str(tmp_path_factory.mktemp("ctl_noise"))
+    evaluate(common + ["--noise=True", f"--output_dir={d}"])
+    assert os.path.exists(f"{d}/test_beam2_noise.jsonl")
+    d = str(tmp_path_factory.mktemp("ctl_rand"))
+    evaluate(common + ["--random_choice=True", f"--output_dir={d}"])
+    assert os.path.exists(f"{d}/test_beam2_random.jsonl")
