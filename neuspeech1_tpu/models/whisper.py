@@ -389,6 +389,7 @@ def mha(
     causal: bool = False,
     kv_len: Optional[int] = None,
     ring_axis: Optional[str] = None,
+    self_contig: bool = False,
 ):
     """Multi-head attention with optional cross-attention and KV cache.
 
@@ -414,7 +415,7 @@ def mha(
         v = _split_heads(vh, n_heads)
         if cache is not None:
             return _self_decode_dt(q, k, v, cache, cache_index, mask, p,
-                                   lora)
+                                   lora, contig=self_contig)
         new_cache = None
     elif fuse:
         q = _split_heads(linear(x, p["q"]), n_heads)
@@ -557,14 +558,15 @@ def mha(
             v = _split_heads(linear(src, p["v"], lora.get("v")), n_heads)
             if cache is not None:
                 return _self_decode_dt(q, k, v, cache, cache_index, mask, p,
-                                       lora)
+                                       lora, contig=self_contig)
             new_cache = None
     out = attention(q, k, v, mask=mask, use_flash=use_flash, causal=causal,
                     kv_len=kv_len, ring_axis=ring_axis)
     return linear(_merge_heads(out), p["out"], lora.get("out")), new_cache
 
 
-def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora):
+def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora,
+                    contig=False):
     """Incremental decode self-attention on the TRANSPOSED [B, H, Dh, Tmax]
     cache — the same full-lane-width layout as the cross cache (T on the
     128-lane axis; the BTHD form put Dh=64 on lanes and read head-strided
@@ -575,6 +577,11 @@ def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora):
     dedicated path. Long-form per-token cost is dominated by Tmax
     (fixed-shape buffers), measured 2.34 ms/token busy at Tmax~300
     (steady-state trace) — no layout pathology.
+
+    ``contig=True`` asserts the caller's mask is the implicit contiguous
+    ``position <= cache_index`` rule, which lets the q_len==1 step take
+    the fused Pallas kernel (ops/decode_step.py: cache write + scores +
+    softmax + PV in ONE op — the decode while-body is launch-gap bound).
 
     Numerics identical to `attention`'s XLA path: bf16 score einsum, f32
     softmax, probs cast back for PV."""
@@ -588,6 +595,15 @@ def _self_decode_dt(q, k_new, v_new, cache, cache_index, mask, p, lora):
     if "k_tu" in cache:
         return _self_decode_dt_unrolled(q, k_new, v_new, cache, cache_index,
                                         mask, p, lora)
+    if contig and q.shape[1] == 1:
+        from neuspeech1_tpu.ops.decode_step import (fused_self_decode,
+                                                    fused_self_on)
+
+        if fused_self_on():
+            out, k_t, v_t = fused_self_decode(
+                q, k_new, v_new, cache["k_t"], cache["v_t"], cache_index)
+            return (linear(_merge_heads(out), p["out"], lora.get("out")),
+                    {"k_t": k_t, "v_t": v_t})
     k_t = lax.dynamic_update_slice(
         cache["k_t"], k_new.transpose(0, 2, 3, 1), (0, 0, 0, cache_index))
     v_t = lax.dynamic_update_slice(
@@ -650,6 +666,19 @@ def _self_decode_dt_unrolled(q, k_new, v_new, cache, cache_index, mask, p,
 
     In-block causality is inherent: position i's matvec runs after writes
     0..i only; `mask[..., i, :]` excludes the stale tail."""
+    if mask is not None:
+        from neuspeech1_tpu.ops.decode_step import (fused_self_decode_multi,
+                                                    fused_self_on)
+
+        if fused_self_on():
+            # ONE op for the whole gamma-step chain (ops/decode_step.py):
+            # the mask already excludes in-block lanes > i for query i, so
+            # writing all gamma columns up front is equivalent
+            out, k_t, v_t = fused_self_decode_multi(
+                q, k_new, v_new, mask, cache["k_tu"], cache["v_tu"],
+                cache_index)
+            return (linear(_merge_heads(out), p["out"], lora.get("out")),
+                    {"k_tu": k_t, "v_tu": v_t})
     k_t, v_t = cache["k_tu"], cache["v_tu"]
     g = q.shape[1]
     dh = q.shape[-1]
@@ -989,7 +1018,7 @@ def encoder_apply(
 def _decoder_layer(h, layer_p, enc_out, self_mask, n_heads, lora=None,
                    self_cache=None, cross_cache=None, cache_index=None,
                    use_flash=False, cross_kv_len=None, use_flash_self=None,
-                   use_flash_cross=None):
+                   use_flash_cross=None, self_contig=False):
     lora = lora or {}
     res = h
     x = layer_norm(h, layer_p["self_attn_ln"])
@@ -1003,7 +1032,7 @@ def _decoder_layer(h, layer_p, enc_out, self_mask, n_heads, lora=None,
         x, layer_p["self_attn"], n_heads,
         mask=None if flash_self else self_mask,
         lora=lora.get("self_attn"), cache=self_cache, cache_index=cache_index,
-        use_flash=flash_self, causal=True,
+        use_flash=flash_self, causal=True, self_contig=self_contig,
     )
     h = res + x
     res = h
@@ -1179,6 +1208,10 @@ def decoder_apply(
                 cross_cache=cache["cross"][i], cache_index=cache_index,
                 # static true cross length (BTC caches are row-padded)
                 cross_kv_len=enc_out.shape[1],
+                # mask is the implicit contiguous position<=cache_index
+                # rule (not a caller-supplied spec-decode hole mask) —
+                # q_len==1 steps may take the fused decode-step kernel
+                self_contig=self_attn_mask is None,
             )
             new_self.append(ns)
             new_cross.append(nc)
