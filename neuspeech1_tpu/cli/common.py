@@ -128,6 +128,50 @@ def commit_params(params):
     return jax.device_put(params)
 
 
+def feature_true_len(feats, n_blocks: int = 8) -> int:
+    """Block-aligned length past the last nonzero sample in a [B, ch, T]
+    feature batch: a multiple of T/n_blocks in [T/n_blocks, T].
+
+    Clips are zero-padded to the model's 30 s input geometry
+    (data/dataset.py _pad_time, serve.Transcriber._prepare), so everything
+    past this point is zeros the device can restore. Scans blocks from the
+    END, so short-clip batches only read the zero tail at host memory
+    bandwidth."""
+    import numpy as np
+
+    t = feats.shape[-1]
+    block = max(1, t // n_blocks)
+    n = t
+    while n > block and not np.any(feats[..., n - block:n]):
+        n -= block
+    return n
+
+
+def upload_features(feats, dtype, compact: bool = True):
+    """Host->device feature upload, minimizing bytes on the wire.
+
+    Two numerically-exact cuts (the round-5 tunnel probe measured uploads
+    at ~45 MB/s regardless of dtype — bytes are everything):
+    - cast to the model compute ``dtype`` on host: the encoder's first op
+      is astype(config.dtype) (models/whisper.py encoder_apply), so the
+      host-side cast commutes (2x for bf16);
+    - ``compact``: crop trailing zero-padding before upload and zero-pad
+      back on device (3-10x: clips are typically 2-10 s padded to 30 s;
+      any real zeros cropped are restored identically)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    t_full = feats.shape[-1]
+    if compact:
+        n = feature_true_len(feats)
+        fd = jnp.asarray(np.asarray(feats[..., :n]).astype(dtype))
+        if n < t_full:  # restore the zero tail on device (~free in HBM)
+            pad = [(0, 0)] * (fd.ndim - 1) + [(0, t_full - n)]
+            fd = jnp.pad(fd, pad)
+        return fd
+    return jnp.asarray(np.asarray(feats).astype(dtype))
+
+
 def save_adapter(path: str, trainable) -> None:
     """Save the trainable partition (lora + stem/conv2) as npz."""
     save_npz(path, trainable)

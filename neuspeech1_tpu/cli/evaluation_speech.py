@@ -103,8 +103,14 @@ def main(argv=None):
     for batch in loader:
         feats = batch["input_features"]
         b = feats.shape[0]
+        # model-dtype upload halves wire bytes (exact: the encoder casts on
+        # entry). compact=False: log-mel padding is the mel floor, not
+        # zeros, so the zero-tail crop does not apply to speech features.
         out = np.asarray(
-            generate(params, jnp.asarray(feats), np.repeat(prompt, b, 0),
+            generate(params,
+                     common.upload_features(feats, jnp.dtype(config.dtype),
+                                            compact=False),
+                     np.repeat(prompt, b, 0),
                      config, stem, gen)
         )
         preds.extend(tokenizer.batch_decode(out))

@@ -160,6 +160,8 @@ class Transcriber:
             import jax
 
             sample_rng = jax.random.key(self._sample_seed)
+        from neuspeech1_tpu.cli import common
+
         for i in range(0, signals.shape[0], bs):
             chunk = signals[i : i + bs]
             n = chunk.shape[0]
@@ -168,8 +170,13 @@ class Transcriber:
                     [chunk, np.repeat(chunk[-1:], bs - n, axis=0)], axis=0
                 )
             prompt = np.repeat(self.prompt, bs, axis=0)
+            # model-dtype + zero-tail-cropped upload (exact; cli/common.py
+            # upload_features — the tunnel moves ~45 MB/s, so the full-pad
+            # f32 upload dominated the batch wall otherwise)
+            chunk_dev = common.upload_features(chunk, jnp.dtype(
+                self.config.dtype))
             out = np.asarray(
-                generate(self.params, jnp.asarray(chunk), prompt, self.config,
+                generate(self.params, chunk_dev, prompt, self.config,
                          self.stem, self.gen, rng=sample_rng,
                          draft_table=self._draft_table)
             )
@@ -185,14 +192,17 @@ class Transcriber:
         from neuspeech1_tpu.decode.generate import greedy_decode
         from neuspeech1_tpu.decode.timestamps import word_timestamps
 
+        from neuspeech1_tpu.cli import common
+
         signals = self._prepare(signals)
         gen = dataclasses.replace(self.gen, num_beams=1)
         rows: List[List[dict]] = []
         for i in range(signals.shape[0]):
-            feats = signals[i : i + 1]
+            feats = common.upload_features(
+                signals[i : i + 1], jnp.dtype(self.config.dtype))
             prompt = self.prompt
             out = np.asarray(
-                greedy_decode(self.params, jnp.asarray(feats), prompt,
+                greedy_decode(self.params, feats, prompt,
                               self.config, self.stem, gen)
             )[0]
             # trim at eot
@@ -202,7 +212,7 @@ class Transcriber:
                 if t == self.config.eot_id and len(toks) > prompt.shape[1]:
                     break
             rows.append(
-                word_timestamps(self.params, jnp.asarray(feats), toks,
+                word_timestamps(self.params, feats, toks,
                                 self.config, self.stem, self.tokenizer)
             )
         return rows

@@ -427,6 +427,40 @@ def test_evaluate_upload_dtype_parity(cli_run, tmp_path_factory):
     assert preds["float32"] == preds["bfloat16"]
 
 
+def test_evaluate_compact_upload_parity(tmp_path_factory):
+    """--compact_upload (default) crops each batch's trailing zero-padding
+    before the host->device upload and zero-pads back on device — exact
+    because clips are zero-padded to max duration (data/dataset.py
+    _pad_time) and the device-side pad restores identical zeros. The
+    round-5 tunnel probe measured uploads at ~45 MB/s regardless of dtype,
+    so bytes are everything: 6 s clips cut 160 MB/batch to 32 MB. Pins
+    token-identical predictions vs the full-pad upload on a corpus whose
+    clips (0.5-0.52 s vs the 0.64 s pad) GUARANTEE the crop+device-pad
+    path fires, through the partial-final-batch path and beam decode."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+    from neuspeech1_tpu.data.synthetic import make_synthetic_corpus
+
+    corpus = str(tmp_path_factory.mktemp("compact_corpus"))
+    # clips 100-104 samples, padded to T=128 -> trailing >=24 zero samples;
+    # crop block = T/8 = 16 -> _true_len <= 112 < 128 on every batch
+    make_synthetic_corpus(corpus, n_clips=6, n_channels=4, seed=7,
+                          max_dur=0.52, min_dur=0.5)
+    preds = {}
+    for compact in ("True", "False"):
+        d = str(tmp_path_factory.mktemp(f"compact_{compact}"))
+        evaluate([
+            f"--test_data={corpus}/all.jsonl", "--base_model=random",
+            "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=4",
+            "--max_audio_len=0.64", "--min_audio_len=0.5",
+            "--num_beams=2", "--max_new_tokens=6",
+            f"--compact_upload={compact}", f"--output_dir={d}",
+        ])
+        rows = [json.loads(l) for l in open(f"{d}/all_beam2.jsonl")]
+        assert rows
+        preds[compact] = [r["pred"] for r in rows]
+    assert preds["True"] == preds["False"]
+
+
 def test_evaluate_controls_cli(cli_run, tmp_path_factory):
     """The reference's scientific controls through the CLI decode loop:
     --teacher_forcing (argmax under the gold prefix, evaluation.py:387-404),
