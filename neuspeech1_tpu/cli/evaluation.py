@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
             "feature host->device upload dtype: 'auto' = the model compute "
             "dtype (bf16 halves upload bytes and is numerically identical "
             "because the encoder casts on entry), or 'float32'/'bfloat16'")
+    add_arg("int8_kv_cache", bool, False,
+            "store the decode cross K/V cache int8 (the serve_bench "
+            "recommended serving config; halves decode's dominant HBM "
+            "stream — opt-in because quantization is not bit-exact vs "
+            "the reference's fp cache)")
     add_arg("pipeline_depth", int, 2,
             "decodes kept in flight: batch N's output fetch overlaps batch "
             "N+1's device decode (the serve_bench depth-2 winning config); "
@@ -281,6 +286,7 @@ def main(argv=None):
         do_sample=args.do_sample, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
         spec_gamma=args.spec_gamma,
+        int8_kv_cache=args.int8_kv_cache,
         decode_buckets=_serve._resolve_decode_buckets(
             args.decode_buckets, args.num_beams,
             prompt.shape[1] + args.max_new_tokens),

@@ -461,6 +461,25 @@ def test_evaluate_compact_upload_parity(tmp_path_factory):
     assert preds["True"] == preds["False"]
 
 
+def test_evaluate_int8_kv_cli(cli_run, tmp_path_factory):
+    """--int8_kv_cache (the serve_bench recommended serving config) runs the
+    eval CLI end to end through the pipelined loop and produces the full
+    metric battery (quantized cross cache is opt-in, not bit-exact, so only
+    liveness + format are pinned; numeric parity vs fp is covered at the
+    Transcriber level in test_transcriber_int8)."""
+    from neuspeech1_tpu.cli.evaluation import main as evaluate
+
+    corpus, out = cli_run
+    d = str(tmp_path_factory.mktemp("int8kv"))
+    m = evaluate([
+        f"--test_data={corpus}/test.jsonl", "--base_model=random",
+        "--tokenizer=byte", "--eeg_ch=4", *GEO_CORE, "--batch_size=4",
+        "--num_beams=2", "--max_new_tokens=6", "--int8_kv_cache=True",
+        f"--output_dir={d}",
+    ])
+    assert "wer" in m and os.path.exists(f"{d}/test_beam2.jsonl")
+
+
 def test_evaluate_controls_cli(cli_run, tmp_path_factory):
     """The reference's scientific controls through the CLI decode loop:
     --teacher_forcing (argmax under the gold prefix, evaluation.py:387-404),
