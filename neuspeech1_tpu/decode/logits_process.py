@@ -16,8 +16,16 @@ from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e9)
+# MUST be a host (numpy) scalar, not an eager jnp array: a module-level
+# jnp.float32 is created ON THE DEFAULT DEVICE at import and closed over by
+# every decode program — embedding it as an MLIR constant then fetches it
+# back from the device at lowering time, which on the tunneled TPU runtime
+# measured 228 s of the beam program's 232 s trace+lower cold-start
+# (round-5 eval-CLI investigation; numpy constants embed without any
+# device round-trip and trace identically).
+NEG_INF = np.float32(-1e9)
 
 
 def _ban_mask(ids: Sequence[int], vocab: int):

@@ -22,7 +22,10 @@ import jax.numpy as jnp
 
 from neuspeech1_tpu.config import StemConfig, WhisperConfig
 
-NEG_INF = jnp.float32(-1e9)
+# host scalar, NOT eager jnp: see decode/logits_process.py NEG_INF — a
+# module-level device scalar costs a 228 s device fetch at lowering time
+# on the tunneled TPU runtime
+NEG_INF = np.float32(-1e9)
 
 
 def timestamp_rules(
