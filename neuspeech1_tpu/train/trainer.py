@@ -197,8 +197,15 @@ class Trainer:
             feats = np.asarray(batch["input_features"])
             labels = np.asarray(batch["labels"])[:true_rows]
             bp = np.repeat(prompt, feats.shape[0], axis=0)
+            # compact model-dtype upload (exact; cli/common.upload_features)
+            # — eval-WER decode otherwise re-uploads f32 full-pad features
+            # every eval at the tunnel's ~45 MB/s
+            from neuspeech1_tpu.cli.common import upload_features
+
             out = np.asarray(greedy_decode(
-                params, jnp.asarray(feats), bp, self.config, self.stem, gen,
+                params,
+                upload_features(feats, jnp.dtype(self.config.dtype)),
+                bp, self.config, self.stem, gen,
                 lora=lora,
             ))[:true_rows]
             preds.extend(tok.batch_decode(out))
